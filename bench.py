@@ -1,0 +1,152 @@
+"""North-star benchmark: generator images/sec/chip at 64×64.
+
+Measures (a) the PyTorch-CPU reference generator loop (the denominator —
+BASELINE.json defines the target as ≥5× this; the reference repo publishes no
+numbers and runs on CPU torch), and (b) the tpugan jitted generator on
+whatever device JAX selects (the v5e chip under the driver; CPU in offline
+dev).  Prints ONE JSON line:
+
+    {"metric": "gen_images_per_sec_64x64", "value": ..., "unit":
+     "images/sec/chip", "vs_baseline": value / torch_cpu_value}
+
+Extra detail (per-batch-size numbers, 128×128 axis, device info) goes to
+stderr only.
+
+Usage: python bench.py [--image-size 64] [--steps 20] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Torch-CPU reference generator (the denominator)
+# ---------------------------------------------------------------------------
+
+def torch_reference_gen(image_size: int, nz: int = 100, ngf: int = 64,
+                        channels: int = 3):
+    """The canonical DCGAN generator as the reference builds it: a
+    ConvTranspose2d+BatchNorm2d+ReLU stack from (nz,1,1) to the image."""
+    import torch.nn as tnn
+
+    layers = []
+    if image_size == 64:
+        chans = [ngf * 8, ngf * 4, ngf * 2, ngf]
+    elif image_size == 128:
+        chans = [ngf * 16, ngf * 8, ngf * 4, ngf * 2, ngf]
+    else:
+        raise ValueError(image_size)
+    layers += [tnn.ConvTranspose2d(nz, chans[0], 4, 1, 0, bias=False),
+               tnn.BatchNorm2d(chans[0]), tnn.ReLU(True)]
+    for cin, cout in zip(chans[:-1], chans[1:]):
+        layers += [tnn.ConvTranspose2d(cin, cout, 4, 2, 1, bias=False),
+                   tnn.BatchNorm2d(cout), tnn.ReLU(True)]
+    layers += [tnn.ConvTranspose2d(chans[-1], channels, 4, 2, 1, bias=True),
+               tnn.Tanh()]
+    return tnn.Sequential(*layers)
+
+
+def bench_torch_cpu(image_size: int, batch: int, steps: int,
+                    warmup: int = 2) -> float:
+    import torch
+
+    torch.manual_seed(0)
+    g = torch_reference_gen(image_size).eval()
+    z = torch.randn(batch, 100, 1, 1)
+    with torch.no_grad():
+        for _ in range(warmup):
+            g(z)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            g(z)
+        dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+# ---------------------------------------------------------------------------
+# tpugan generator
+# ---------------------------------------------------------------------------
+
+def bench_tpugan(image_size: int, batch: int, steps: int,
+                 warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.configs import get_preset
+    from tpugan.models import build_models
+    from tpugan.train import create_train_state
+
+    name = "dcgan_celeba64" if image_size == 64 else "cdcgan_celeba128"
+    cfg = get_preset(name)
+    if image_size == 128:  # bench the plain G at 128 for a like-for-like axis
+        cfg = cfg.override({"model.arch": "dcgan", "model.n_classes": "0"})
+    g, d = build_models(cfg.model, "bf16")
+    state = create_train_state(cfg, g, d)
+
+    @jax.jit
+    def forward(params_g, state_g, z):
+        img, _ = g.apply(params_g, state_g, z, train=False)
+        return img.astype(jnp.float32)
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (batch, cfg.model.nz),
+                          jnp.float32)
+    for _ in range(warmup):
+        jax.block_until_ready(forward(state.params_g, state.state_g, z))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = forward(state.params_g, state.state_g, z)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--torch-batch", type=int, default=64)
+    ap.add_argument("--torch-steps", type=int, default=5)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.steps, args.torch_steps = 5, 2
+
+    import jax
+
+    log(f"device: {jax.devices()}")
+
+    torch_ips = bench_torch_cpu(args.image_size, args.torch_batch,
+                                args.torch_steps)
+    log(f"torch-cpu reference @{args.image_size}: {torch_ips:.1f} images/s")
+
+    best, best_batch = 0.0, 0
+    for batch in (256, 512, 1024) if args.image_size == 64 else (64, 128, 256):
+        try:
+            ips = bench_tpugan(args.image_size, batch, args.steps)
+        except Exception as e:  # OOM at large batch: keep the best smaller one
+            log(f"tpugan batch {batch}: failed ({type(e).__name__})")
+            continue
+        log(f"tpugan @{args.image_size} batch {batch}: {ips:.1f} images/s")
+        if ips > best:
+            best, best_batch = ips, batch
+
+    log(f"best: batch {best_batch}: {best:.1f} images/s "
+        f"({best / torch_ips:.2f}x torch-cpu)")
+    print(json.dumps({
+        "metric": f"gen_images_per_sec_{args.image_size}x{args.image_size}",
+        "value": round(best, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / torch_ips, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

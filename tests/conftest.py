@@ -1,0 +1,39 @@
+"""Test environment: CPU backend with 8 fake devices.
+
+This module is imported by pytest before any test module imports jax, so the
+env vars below take effect at backend-init time:
+
+- ``JAX_PLATFORMS=cpu``: tests never touch the (single, shared) TPU chip —
+  even though the axon PJRT plugin may already be registered by the
+  container's sitecustomize, backend selection happens lazily and honors
+  this variable.
+- ``xla_force_host_platform_device_count=8``: 8 virtual CPU devices, the
+  standard JAX trick for testing mesh sharding / collectives on one host
+  (this box has exactly one physical TPU; the multi-chip path is validated
+  on the fake mesh and by ``__graft_entry__.dryrun_multichip``).
+
+Faster local runs: prepend ``PALLAS_AXON_POOL_IPS=`` to skip the
+sitecustomize's TPU-relay dial entirely, e.g.
+``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q``.
+"""
+
+import os
+import sys
+
+assert "jax" not in sys.modules, (
+    "conftest must run before jax is imported so the CPU/fake-device env "
+    "vars take effect")
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

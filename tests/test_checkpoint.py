@@ -1,0 +1,77 @@
+"""Checkpoint round-trip and exact-resume fidelity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan.ckpt import CheckpointManager
+from tpugan.configs import get_preset
+from tpugan.models import build_models
+from tpugan.train import TrainState, build_train_step, create_train_state
+
+
+def tiny():
+    cfg = get_preset("dcgan_mnist")
+    return cfg.override({
+        "data.dataset": "synthetic", "data.batch_size": 8,
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "train.precision": "fp32",
+    })
+
+
+def batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    s, c = cfg.model.image_size, cfg.model.channels
+    return {"image": jnp.asarray(rng.integers(
+        0, 256, size=(cfg.data.batch_size, s, s, c)).astype(np.uint8))}
+
+
+def test_roundtrip_bit_exact(tmp_path):
+    cfg = tiny()
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    state, _ = step(state, batch(cfg))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(int(state.step), state, cfg.to_json())
+    mgr.wait()
+
+    template = create_train_state(cfg, g, d)
+    restored = TrainState(**mgr.restore(dict(template)))
+    for a, b in zip(jax.tree.leaves(jax.device_get(dict(state))),
+                    jax.tree.leaves(jax.device_get(dict(restored)))):
+        np.testing.assert_array_equal(a, b)
+    mgr.close()
+
+
+def test_resume_continues_identically(tmp_path):
+    """train 4 == train 2 + save + restore + train 2 (bit-exact, incl RNG)."""
+    cfg = tiny()
+    g, d = build_models(cfg.model, cfg.train.precision)
+    step = build_train_step(cfg, g, d)
+    b = batch(cfg)
+
+    s_full = create_train_state(cfg, g, d)
+    for _ in range(4):
+        s_full, _ = step(s_full, b)
+
+    s_half = create_train_state(cfg, g, d)
+    for _ in range(2):
+        s_half, _ = step(s_half, b)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(int(s_half.step), s_half, "")
+    mgr.wait()
+    template = create_train_state(cfg, g, d)
+    s_res = TrainState(**mgr.restore(dict(template)))
+    for _ in range(2):
+        s_res, _ = step(s_res, b)
+
+    for a, c in zip(jax.tree.leaves(jax.device_get(s_full.params_g)),
+                    jax.tree.leaves(jax.device_get(s_res.params_g))):
+        np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(np.asarray(s_full.rng),
+                                  np.asarray(s_res.rng))
+    mgr.close()

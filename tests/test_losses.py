@@ -1,0 +1,93 @@
+"""Loss closed-form checks + the gradient penalty on analytic functions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from tpugan.losses import d_loss_fn, g_loss_fn, gradient_penalty
+
+
+def test_bce_matches_torch_bce_with_logits(rng):
+    r = rng.standard_normal(32).astype(np.float32)
+    f = rng.standard_normal(32).astype(np.float32)
+    ld = d_loss_fn("bce", jnp.asarray(r), jnp.asarray(f))
+    tr, tf = torch.from_numpy(r), torch.from_numpy(f)
+    expect = (F.binary_cross_entropy_with_logits(tr, torch.ones_like(tr))
+              + F.binary_cross_entropy_with_logits(tf, torch.zeros_like(tf)))
+    np.testing.assert_allclose(float(ld), float(expect), rtol=1e-5)
+
+    lg = g_loss_fn("bce", jnp.asarray(f))
+    expect_g = F.binary_cross_entropy_with_logits(tf, torch.ones_like(tf))
+    np.testing.assert_allclose(float(lg), float(expect_g), rtol=1e-5)
+
+
+def test_lsgan_closed_form(rng):
+    r = rng.standard_normal(16).astype(np.float32)
+    f = rng.standard_normal(16).astype(np.float32)
+    ld = d_loss_fn("lsgan", jnp.asarray(r), jnp.asarray(f))
+    expect = 0.5 * (np.mean((r - 1) ** 2) + np.mean(f ** 2))
+    np.testing.assert_allclose(float(ld), expect, rtol=1e-5)
+    lg = g_loss_fn("lsgan", jnp.asarray(f))
+    np.testing.assert_allclose(float(lg), 0.5 * np.mean((f - 1) ** 2),
+                               rtol=1e-5)
+
+
+def test_wgan_and_hinge(rng):
+    r = rng.standard_normal(16).astype(np.float32)
+    f = rng.standard_normal(16).astype(np.float32)
+    np.testing.assert_allclose(
+        float(d_loss_fn("wgan", jnp.asarray(r), jnp.asarray(f))),
+        np.mean(f) - np.mean(r), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(g_loss_fn("wgan_gp", jnp.asarray(f))), -np.mean(f), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(d_loss_fn("hinge", jnp.asarray(r), jnp.asarray(f))),
+        np.mean(np.maximum(0, 1 - r)) + np.mean(np.maximum(0, 1 + f)),
+        rtol=1e-5)
+
+
+def test_gradient_penalty_analytic_linear():
+    """D(x) = c * sum(x): per-sample grad is c*ones, norm = c*sqrt(HWC)."""
+    n, h, w, c_dim = 4, 5, 5, 3
+    real = jnp.ones((n, h, w, c_dim))
+    fake = -jnp.ones((n, h, w, c_dim))
+    coef = 0.25
+
+    def d_score(x):
+        return coef * jnp.sum(x, axis=(1, 2, 3))
+
+    gp = gradient_penalty(d_score, real, fake, jax.random.PRNGKey(0))
+    expect = (coef * np.sqrt(h * w * c_dim) - 1.0) ** 2
+    np.testing.assert_allclose(float(gp), expect, rtol=1e-5)
+
+
+def test_gradient_penalty_zero_at_unit_norm():
+    """D(x) = <x, u> with ||u||=1 gives exactly unit gradient norm -> gp=0."""
+    n, h, w, c_dim = 3, 4, 4, 2
+    u = jnp.ones((h, w, c_dim)) / np.sqrt(h * w * c_dim)
+
+    def d_score(x):
+        return jnp.sum(x * u, axis=(1, 2, 3))
+
+    real = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (n, h, w, c_dim)), jnp.float32)
+    gp = gradient_penalty(d_score, real, -real, jax.random.PRNGKey(1))
+    assert float(gp) < 1e-9
+
+
+def test_gradient_penalty_is_differentiable():
+    """The outer grad (double backward) must flow through the penalty."""
+    n, h, w, c_dim = 2, 4, 4, 1
+    real = jnp.ones((n, h, w, c_dim))
+    fake = jnp.zeros((n, h, w, c_dim))
+
+    def loss(theta):
+        def d_score(x):
+            return theta * jnp.sum(jnp.square(x), axis=(1, 2, 3))
+
+        return gradient_penalty(d_score, real, fake, jax.random.PRNGKey(0))
+
+    g = jax.grad(loss)(1.0)
+    assert np.isfinite(float(g)) and abs(float(g)) > 0

@@ -1,0 +1,149 @@
+"""Train-step semantics: all variants step finitely; n_critic schedule;
+state threading; seeded determinism; donation correctness."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugan.configs import get_preset
+from tpugan.models import build_models
+from tpugan.train import build_train_step, create_train_state
+
+
+def tiny(name, **over):
+    cfg = get_preset(name)
+    cfg = cfg.override({
+        "data.dataset": "synthetic", "data.batch_size": 8,
+        "model.ngf": 16, "model.ndf": 16, "model.nz": 16,
+        "train.precision": "fp32", **over,
+    })
+    return cfg
+
+
+def synth_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    s, c = cfg.model.image_size, cfg.model.channels
+    batch = {"image": rng.integers(
+        0, 256, size=(cfg.data.batch_size, s, s, c)).astype(np.uint8)}
+    if cfg.model.arch == "cdcgan":
+        batch["label"] = rng.integers(
+            0, cfg.model.n_classes, size=cfg.data.batch_size).astype(np.int32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.mark.parametrize("name", [
+    "dcgan_mnist", "lsgan_cifar10", "wgan_gp_cifar10", "sngan_cifar10",
+    "cdcgan_celeba64",
+])
+def test_step_runs_and_is_finite(name):
+    cfg = tiny(name)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    batch = synth_batch(cfg)
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{name}: {k} not finite"
+    assert int(state.step) == 3
+
+
+def test_n_critic_schedule():
+    """G params change only on every n_critic-th call."""
+    cfg = tiny("wgan_gp_cifar10")
+    assert cfg.loss.n_critic == 5
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    batch = synth_batch(cfg)
+
+    p0 = jax.device_get(state.params_g)
+    for i in range(5):
+        state, _ = step(state, batch)
+        p1 = jax.device_get(state.params_g)
+        changed = not np.allclose(
+            jax.tree.leaves(p0)[0], jax.tree.leaves(p1)[0])
+        if i < 4:
+            assert not changed, f"G updated early at call {i}"
+        else:
+            assert changed, "G did not update on the n_critic-th call"
+        p0 = p1
+
+
+def test_seeded_determinism():
+    """Same seed + data => bit-identical params after k steps."""
+    cfg = tiny("dcgan_mnist")
+    g, d = build_models(cfg.model, cfg.train.precision)
+    batch = synth_batch(cfg)
+
+    def run():
+        state = create_train_state(cfg, g, d)
+        step = build_train_step(cfg, g, d)
+        for _ in range(3):
+            state, _ = step(state, batch)
+        return jax.device_get(state.params_g)
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_bn_and_sn_state_update():
+    cfg = tiny("sngan_cifar10")
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    batch = synth_batch(cfg)
+    s0 = jax.device_get(state.state_g)  # G BN stats
+    d0 = jax.device_get(state.state_d)  # D SN u vectors
+    state, _ = step(state, batch)
+    s1 = jax.device_get(state.state_g)
+    d1 = jax.device_get(state.state_d)
+    assert any(not np.allclose(x, y) for x, y in
+               zip(jax.tree.leaves(s0), jax.tree.leaves(s1))), "BN stats frozen"
+    assert any(not np.allclose(x, y) for x, y in
+               zip(jax.tree.leaves(d0), jax.tree.leaves(d1))), "SN u frozen"
+
+
+def test_uint8_and_float_batches_agree():
+    """Device-side normalization must equal pre-normalized input."""
+    cfg = tiny("dcgan_mnist")
+    g, d = build_models(cfg.model, cfg.train.precision)
+    step = build_train_step(cfg, g, d)
+    b8 = synth_batch(cfg)
+    bf = {"image": b8["image"].astype(jnp.float32) / 127.5 - 1.0}
+
+    s1 = create_train_state(cfg, g, d)
+    s2 = jax.tree.map(jnp.copy, s1)
+    s1, m1 = step(s1, b8)
+    s2, m2 = step(s2, bf)
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m2["loss_d"]),
+                               rtol=1e-6)
+
+
+def test_donation_safety():
+    """After a donated step, the *returned* state must be usable (the old
+    one is dead); two sequential steps through donation must work."""
+    cfg = tiny("dcgan_cifar10")
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    batch = synth_batch(cfg)
+    state, _ = step(state, batch)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss_d"]))
+
+
+def test_wgan_weight_clipping():
+    cfg = tiny("wgan_gp_cifar10")
+    cfg = cfg.override({"loss.kind": "wgan", "loss.clip_value": 0.01,
+                        "loss.n_critic": 1})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    state, _ = step(state, synth_batch(cfg))
+    for leaf in jax.tree.leaves(jax.device_get(state.params_d)):
+        assert np.max(np.abs(leaf)) <= 0.01 + 1e-7

@@ -1,0 +1,67 @@
+"""Checkpoint save/resume for the full TrainState pytree.
+
+Contract (mirrors the reference's ``torch.save``/``--resume`` dict of
+G/D/optG/optD/epoch, extended for exact resume): one checkpoint carries G and
+D parameters, both optimizer states, BatchNorm running statistics,
+spectral-norm u vectors, the RNG key, and the step counter — restoring it
+continues training bit-for-bit, including the noise stream.
+
+Implementation: orbax CheckpointManager with async saves (the device keeps
+training while the previous state serializes) and bounded retention.  The
+run config is saved alongside as JSON so a checkpoint is self-describing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=async_save,
+        )
+        self.mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, config_json: str = "") -> None:
+        ocp = self._ocp
+        self.mgr.save(int(step), args=ocp.args.StandardSave(state))
+        if config_json:
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                f.write(config_json)
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``template`` (a freshly-created
+        TrainState); returns the restored pytree."""
+        ocp = self._ocp
+        if step is None:
+            step = self.mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint found under {self.directory}")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template)
+        return self.mgr.restore(
+            int(step), args=ocp.args.StandardRestore(abstract))
+
+    def wait(self) -> None:
+        """Block until any in-flight async save completes."""
+        self.mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self.mgr.wait_until_finished()
+        self.mgr.close()

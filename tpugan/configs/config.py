@@ -1,0 +1,243 @@
+"""Config tree for tpugan.
+
+The reference (a PyTorch GAN playground) configures each run through per-script
+argparse flags (dataset, batch size, lr, beta1, nz/ngf/ndf, epochs, n_critic,
+lambda_gp, image size, output dir, resume, seed).  Here the same surface is a
+single typed config tree with named presets covering exactly the driver-verified
+reference configs (BASELINE.json "configs", /root/repo/BASELINE.json:6-12):
+
+- ``dcgan_mnist``      DCGAN on MNIST 28x28 (tiny G/D)
+- ``dcgan_cifar10``    DCGAN on CIFAR-10 32x32 (BatchNorm in G and D)
+- ``lsgan_cifar10``    LSGAN (least-squares loss) on CIFAR-10 32x32
+- ``wgan_gp_cifar10``  WGAN-GP on CIFAR-10 (gradient-penalty double backward)
+- ``sngan_cifar10``    SNGAN on CIFAR-10 (spectral-norm power iteration)
+- ``cdcgan_celeba64``  Conditional DCGAN on CelebA 64x64
+- ``cdcgan_celeba128`` Conditional DCGAN on CelebA 128x128 (large convs, DP)
+
+Configs are plain dataclasses so they serialize into checkpoints and are
+hashable into jit static args where needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the G/D pair."""
+
+    arch: str = "dcgan"  # dcgan | cdcgan
+    image_size: int = 64
+    channels: int = 3  # image channels (1 for MNIST)
+    nz: int = 100  # latent dimension
+    ngf: int = 64  # generator base width
+    ndf: int = 64  # discriminator base width
+    n_classes: int = 0  # >0 enables conditional embedding (cdcgan)
+    embed_dim: int = 0  # label embedding dim (0 -> nz for G input concat)
+    g_batchnorm: bool = True
+    d_batchnorm: bool = True  # reference: BN in D for CIFAR configs
+    d_spectral_norm: bool = False  # SNGAN: spectral norm on D weights
+    leak: float = 0.2  # LeakyReLU slope in D
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Adversarial objective."""
+
+    kind: str = "bce"  # bce (non-saturating) | lsgan | wgan | wgan_gp | hinge
+    lambda_gp: float = 10.0  # WGAN-GP gradient penalty weight
+    n_critic: int = 1  # D steps per G step (5 for WGAN-GP)
+    clip_value: float = 0.01  # weight clipping for kind="wgan" (original WGAN)
+    # Label smoothing / flipping hooks (off by default to match reference).
+    real_label: float = 1.0
+    fake_label: float = 0.0
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Two independent optimizers, as in the reference's alternating loop."""
+
+    optimizer: str = "adam"  # adam | rmsprop
+    lr_g: float = 2e-4
+    lr_d: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"  # mnist | cifar10 | celeba | synthetic
+    data_dir: str = "data"
+    batch_size: int = 128
+    num_workers: int = 2  # host prefetch threads
+    hflip: bool = False  # random horizontal flip augment (CelebA)
+    # synthetic dataset controls (deterministic, for offline dev/test)
+    synthetic_size: int = 10_000
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    total_steps: int = 10_000
+    log_every: int = 50
+    sample_every: int = 500
+    ckpt_every: int = 1000
+    ckpt_dir: str = "runs/ckpt"
+    out_dir: str = "runs/out"
+    seed: int = 0
+    precision: str = "bf16"  # bf16 (params fp32, compute bf16) | fp32
+    kernels: str = "xla"  # xla | pallas — fused conv kernel backend
+    donate: bool = True  # donate train-state buffers into the jitted step
+    mesh_shape: Optional[int] = None  # data-parallel devices (None = all)
+    resume: str = ""  # checkpoint path/dir to resume from
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    fid_n: int = 10_000  # generated samples for FID
+    fid_batch: int = 256
+    metric: str = "proxy"  # proxy (local feature net) | inception (weights-gated)
+    inception_weights: str = ""  # path to Inception pickle, if available
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "dcgan_mnist"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    # ---- serialization --------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return cls(
+            name=d.get("name", "custom"),
+            model=ModelConfig(**d.get("model", {})),
+            loss=LossConfig(**d.get("loss", {})),
+            optim=OptimConfig(**d.get("optim", {})),
+            data=DataConfig(**d.get("data", {})),
+            train=TrainConfig(**d.get("train", {})),
+            eval=EvalConfig(**d.get("eval", {})),
+        )
+
+    def replace(self, **sections: Any) -> "Config":
+        """Replace whole sections: cfg.replace(loss=new_loss)."""
+        return dataclasses.replace(self, **sections)
+
+    def override(self, dotted: dict[str, Any]) -> "Config":
+        """Apply {'model.nz': 128, 'train.seed': 1}-style CLI overrides."""
+        d = self.to_dict()
+        for key, val in dotted.items():
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config field: {key}")
+            node[parts[-1]] = _coerce(val, node[parts[-1]])
+        d["name"] = self.name
+        return Config.from_dict(d)
+
+
+def _coerce(val: Any, like: Any) -> Any:
+    if isinstance(val, str) and like is not None and not isinstance(like, str):
+        t = type(like)
+        if t is bool:
+            return val.lower() in ("1", "true", "yes", "on")
+        return t(val)
+    return val
+
+
+# ---------------------------------------------------------------------------
+# Presets — the driver-verified reference configs.
+# ---------------------------------------------------------------------------
+
+
+def _mnist() -> Config:
+    return Config(
+        name="dcgan_mnist",
+        model=ModelConfig(
+            arch="dcgan", image_size=28, channels=1, nz=100, ngf=32, ndf=32,
+            g_batchnorm=True, d_batchnorm=False,
+        ),
+        loss=LossConfig(kind="bce"),
+        data=DataConfig(dataset="mnist", batch_size=128),
+        train=TrainConfig(total_steps=5000),
+    )
+
+
+def _cifar(name: str, loss_kind: str, sn: bool = False) -> Config:
+    n_critic = 5 if loss_kind == "wgan_gp" else 1
+    optim = OptimConfig()
+    if loss_kind == "wgan_gp":
+        # Adam(1e-4, 0.5/0.9) is the canonical WGAN-GP setting.
+        optim = OptimConfig(lr_g=1e-4, lr_d=1e-4, beta1=0.5, beta2=0.9)
+    return Config(
+        name=name,
+        model=ModelConfig(
+            arch="dcgan", image_size=32, channels=3, nz=100, ngf=64, ndf=64,
+            g_batchnorm=True,
+            # WGAN-GP's penalty is per-sample; BN in D breaks it. SNGAN uses SN
+            # instead of BN in D. Plain DCGAN/LSGAN keep BN in both G and D.
+            d_batchnorm=(loss_kind in ("bce", "lsgan")) and not sn,
+            d_spectral_norm=sn,
+        ),
+        loss=LossConfig(kind=loss_kind, n_critic=n_critic),
+        optim=optim,
+        data=DataConfig(dataset="cifar10", batch_size=128),
+        train=TrainConfig(total_steps=20_000),
+    )
+
+
+def _celeba(size: int) -> Config:
+    return Config(
+        name=f"cdcgan_celeba{size}",
+        model=ModelConfig(
+            arch="cdcgan", image_size=size, channels=3, nz=100,
+            ngf=64, ndf=64, n_classes=2, embed_dim=50,
+            g_batchnorm=True, d_batchnorm=True,
+        ),
+        loss=LossConfig(kind="bce"),
+        data=DataConfig(dataset="celeba", batch_size=128, hflip=True),
+        train=TrainConfig(total_steps=50_000),
+    )
+
+
+_PRESETS = {
+    "dcgan_mnist": _mnist,
+    "dcgan_cifar10": lambda: _cifar("dcgan_cifar10", "bce"),
+    "lsgan_cifar10": lambda: _cifar("lsgan_cifar10", "lsgan"),
+    "wgan_gp_cifar10": lambda: _cifar("wgan_gp_cifar10", "wgan_gp"),
+    "sngan_cifar10": lambda: _cifar("sngan_cifar10", "hinge", sn=True),
+    "dcgan_celeba64": lambda: dataclasses.replace(
+        _celeba(64),
+        name="dcgan_celeba64",
+        model=ModelConfig(arch="dcgan", image_size=64, channels=3, nz=100,
+                          ngf=64, ndf=64, g_batchnorm=True, d_batchnorm=True),
+    ),
+    "cdcgan_celeba64": lambda: _celeba(64),
+    "cdcgan_celeba128": lambda: _celeba(128),
+}
+
+
+def list_presets() -> list[str]:
+    return sorted(_PRESETS)
+
+
+def get_preset(name: str) -> Config:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {list_presets()}")
+    return _PRESETS[name]()

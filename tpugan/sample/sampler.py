@@ -1,0 +1,100 @@
+"""The public sampler API: seeded, batched generation + sample grids.
+
+Mirrors the reference's sampler surface (fixed-noise grid per epoch, seeded
+generation for eval) with an explicit determinism contract: images are a pure
+function of (checkpoint, seed, n, labels) — same seed, same pixels, on any
+run. Generation runs in eval mode (BatchNorm running stats, frozen
+spectral-norm u) under one jitted function.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan.configs import Config
+from tpugan.nn.core import Module
+from tpugan.utils.images import make_grid, save_png, to_uint8
+
+
+def build_sample_fn(cfg: Config, g: Module):
+    """Jitted eval-mode sampler: (params_g, state_g, z[, y]) -> images f32."""
+    conditional = cfg.model.arch == "cdcgan"
+
+    @jax.jit
+    def sample(params_g, state_g, z, y=None):
+        zin = (z, y) if conditional else z
+        img, _ = g.apply(params_g, state_g, zin, train=False)
+        return img.astype(jnp.float32)
+
+    return sample
+
+
+class Sampler:
+    def __init__(self, cfg: Config, g: Module, params_g, state_g):
+        self.cfg = cfg
+        self.conditional = cfg.model.arch == "cdcgan"
+        self.nz = cfg.model.nz
+        self.n_classes = cfg.model.n_classes
+        self._fn = build_sample_fn(cfg, g)
+        self.params_g = params_g
+        self.state_g = state_g
+
+    def update(self, params_g, state_g) -> None:
+        """Point the sampler at fresh (e.g. just-trained) weights."""
+        self.params_g = params_g
+        self.state_g = state_g
+
+    def noise(self, n: int, seed: int, offset: int = 0) -> jax.Array:
+        """Per-sample-index noise: image i is a function of (seed, i) only,
+        so generation is invariant to batching/chunking."""
+        nz = self.nz
+        root = jax.random.PRNGKey(seed)
+        idx = jnp.arange(offset, offset + n)
+        keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
+        return jax.vmap(
+            lambda k: jax.random.normal(k, (nz,), jnp.float32))(keys)
+
+    def labels(self, n: int, seed: int, offset: int = 0
+               ) -> Optional[jax.Array]:
+        if not self.conditional:
+            return None
+        root = jax.random.fold_in(jax.random.PRNGKey(seed), 0x1ABE1)
+        idx = jnp.arange(offset, offset + n)
+        keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
+        return jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, self.n_classes))(keys)
+
+    def sample(self, n: int, seed: int = 0, labels=None,
+               batch_size: int = 0) -> np.ndarray:
+        """Generate n images in [-1, 1], float32 NHWC, deterministically."""
+        bs = batch_size or n
+        outs = []
+        for start in range(0, n, bs):
+            m = min(bs, n - start)
+            z = self.noise(m, seed, offset=start)
+            if self.conditional:
+                y = (labels[start:start + m] if labels is not None
+                     else self.labels(m, seed, offset=start))
+                imgs = self._fn(self.params_g, self.state_g, z, jnp.asarray(y))
+            else:
+                imgs = self._fn(self.params_g, self.state_g, z)
+            outs.append(np.asarray(imgs))
+        return np.concatenate(outs, axis=0)
+
+    def sample_fixed(self, z, labels=None) -> np.ndarray:
+        """Generate from caller-provided noise (the fixed-noise grid path)."""
+        if self.conditional:
+            return np.asarray(self._fn(self.params_g, self.state_g, z,
+                                       jnp.asarray(labels)))
+        return np.asarray(self._fn(self.params_g, self.state_g, z))
+
+    def save_grid(self, path: str, n: int = 64, seed: int = 0,
+                  nrow: int = 8) -> np.ndarray:
+        imgs = self.sample(n, seed)
+        grid = make_grid(to_uint8(imgs), nrow=nrow)
+        save_png(path, grid)
+        return grid

@@ -1,0 +1,69 @@
+"""The complete training state as one donated pytree.
+
+Everything the reference keeps in Python objects and module buffers —
+G/D parameters, both optimizers' moments, BatchNorm running statistics,
+spectral-norm u vectors, the RNG stream, and the step counter — lives in this
+single pytree. The jitted train step maps ``TrainState -> TrainState`` with
+the input buffers donated, so parameters and optimizer moments update
+in-place in HBM with zero host round-trips.
+
+This pytree is also exactly what gets checkpointed: restoring it resumes
+training bit-for-bit (the reference's ``state_dict`` contract, extended to
+the RNG so sampled noise continues the same stream).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpugan.configs import Config
+from tpugan.nn.core import Module
+
+
+@chex.dataclass
+class TrainState:
+    params_g: Any
+    state_g: Any
+    opt_g: Any
+    params_d: Any
+    state_d: Any
+    opt_d: Any
+    rng: jax.Array
+    step: jax.Array  # int32 scalar
+
+
+def make_optimizers(cfg: Config):
+    o = cfg.optim
+    if o.optimizer == "adam":
+        mk = lambda lr: optax.adam(lr, b1=o.beta1, b2=o.beta2, eps=o.eps)
+    elif o.optimizer == "rmsprop":
+        mk = lambda lr: optax.rmsprop(lr)
+    else:
+        raise ValueError(f"unknown optimizer {o.optimizer!r}")
+    return mk(o.lr_g), mk(o.lr_d)
+
+
+def create_train_state(cfg: Config, g: Module, d: Module,
+                       seed: int | None = None) -> TrainState:
+    """Initialize params/state/optimizers from the config seed."""
+    seed = cfg.train.seed if seed is None else seed
+    root = jax.random.PRNGKey(seed)
+    k_g, k_d, k_run = jax.random.split(root, 3)
+    params_g, state_g = g.init(k_g)
+    params_d, state_d = d.init(k_d)
+    tx_g, tx_d = make_optimizers(cfg)
+    return TrainState(
+        params_g=params_g,
+        state_g=state_g,
+        opt_g=tx_g.init(params_g),
+        params_d=params_d,
+        state_d=state_d,
+        opt_d=tx_d.init(params_d),
+        rng=k_run,
+        step=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,167 @@
+"""The single jitted alternating D/G train step.
+
+The reference's whole inner loop — D forward on real, G forward, D forward on
+fake, D backward + Adam step, then (every ``n_critic``-th iteration) G
+forward/backward + Adam step — compiles here into ONE XLA program per config:
+
+- One call = one data batch = one D update, plus a G update under
+  ``lax.cond`` when ``step % n_critic == n_critic - 1`` (the reference's
+  "G step every n_critic loader iterations" schedule).
+- The WGAN-GP penalty is nested ``jax.grad`` inside the D loss (double
+  backward compiled into the same program; see losses/gradient_penalty.py).
+- BatchNorm statistics and spectral-norm u vectors thread through
+  functionally, mirroring the reference's train-mode semantics: D's stats
+  update on both the real and fake forwards of the D step and again on the
+  G step's fake forward; G's stats update in both steps.
+- All buffers of the input ``TrainState`` are donated — parameters and
+  optimizer moments are updated in place in HBM.
+
+RNG: the state carries one threefry key; each step deterministically splits
+out the z-noise, GP-interpolation, and label keys, so runs are reproducible
+from the config seed alone and resume exactly from a checkpoint.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpugan.configs import Config
+from tpugan.losses import d_loss_fn, g_loss_fn, gradient_penalty
+from tpugan.nn.core import Module
+from tpugan.train.state import TrainState, make_optimizers
+
+
+def build_train_step(cfg: Config, g: Module, d: Module
+                     ) -> Callable[[TrainState, Dict[str, jax.Array]],
+                                   Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Return the compiled train step for (cfg, g, d)."""
+    kind = cfg.loss.kind
+    nz = cfg.model.nz
+    n_critic = cfg.loss.n_critic
+    lambda_gp = cfg.loss.lambda_gp
+    conditional = cfg.model.arch == "cdcgan"
+    n_classes = cfg.model.n_classes
+    tx_g, tx_d = make_optimizers(cfg)
+
+    def g_forward(params_g, state_g, z, y):
+        zin = (z, y) if conditional else z
+        return g.apply(params_g, state_g, zin, train=True)
+
+    def d_forward(params_d, state_d, x, y, train=True):
+        xin = (x, y) if conditional else x
+        return d.apply(params_d, state_d, xin, train=train)
+
+    # ---- D loss -----------------------------------------------------------
+    def d_loss(params_d, state_d, params_g, state_g, x_real, y_real, z,
+               y_fake, k_gp):
+        fake, state_g = g_forward(params_g, state_g, z, y_fake)
+        fake = lax.stop_gradient(fake)  # reference: fake.detach() in D step
+        real_logits, state_d = d_forward(params_d, state_d, x_real, y_real)
+        fake_logits, state_d = d_forward(params_d, state_d, fake, y_fake)
+        loss = d_loss_fn(kind, real_logits, fake_logits)
+        gp = jnp.zeros((), jnp.float32)
+        if kind == "wgan_gp":
+            frozen = jax.tree.map(lax.stop_gradient, state_d)
+
+            def d_score(x):
+                logits, _ = d_forward(params_d, frozen, x, y_real,
+                                      train=False)
+                return logits
+
+            gp = gradient_penalty(d_score, x_real, fake, k_gp)
+            loss = loss + lambda_gp * gp
+        metrics = {
+            "loss_d": loss,
+            "d_real": jnp.mean(real_logits.astype(jnp.float32)),
+            "d_fake": jnp.mean(fake_logits.astype(jnp.float32)),
+            "gp": gp,
+        }
+        return loss, (state_d, state_g, metrics)
+
+    # ---- G loss -----------------------------------------------------------
+    def g_loss(params_g, state_g, params_d, state_d, z, y_fake):
+        fake, state_g = g_forward(params_g, state_g, z, y_fake)
+        fake_logits, state_d = d_forward(params_d, state_d, fake, y_fake)
+        loss = g_loss_fn(kind, fake_logits)
+        return loss, (state_g, state_d)
+
+    d_grad = jax.grad(d_loss, argnums=0, has_aux=True)
+
+    clip = cfg.loss.clip_value if kind == "wgan" else None
+
+    hflip = cfg.data.hflip
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]
+             ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        x_real = batch["image"]
+        y_real = batch.get("label")
+        bsz = x_real.shape[0]
+        rng, k_zd, k_zg, k_gp, k_yd, k_yg, k_flip = jax.random.split(
+            state.rng, 7)
+
+        # Device-side decode tail: batches arrive as uint8 (4x less
+        # host->device bandwidth than the reference's host-normalized
+        # float32); normalization to [-1, 1] and flip-augment fuse into the
+        # first conv of the compiled step.
+        if x_real.dtype == jnp.uint8:
+            x_real = x_real.astype(jnp.float32) / 127.5 - 1.0
+        if hflip:
+            flip = jax.random.bernoulli(k_flip, 0.5, (bsz, 1, 1, 1))
+            x_real = jnp.where(flip, x_real[:, :, ::-1, :], x_real)
+
+        # --- D update (every call) ---
+        z_d = jax.random.normal(k_zd, (bsz, nz), jnp.float32)
+        y_fake_d = (jax.random.randint(k_yd, (bsz,), 0, n_classes)
+                    if conditional else None)
+        grads, (state_d, state_g, metrics) = d_grad(
+            state.params_d, state.state_d, state.params_g, state.state_g,
+            x_real, y_real, z_d, y_fake_d, k_gp)
+        updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
+        params_d = jax.tree.map(jnp.add, state.params_d, updates)
+        if clip is not None:
+            # Original WGAN critic weight clipping (Lipschitz constraint).
+            params_d = jax.tree.map(
+                lambda p: jnp.clip(p, -clip, clip), params_d)
+
+        # --- G update (every n_critic-th call) ---
+        z_g = jax.random.normal(k_zg, (bsz, nz), jnp.float32)
+        y_fake_g = (jax.random.randint(k_yg, (bsz,), 0, n_classes)
+                    if conditional else None)
+
+        def do_g_with_loss(args):
+            params_g, opt_g, state_g, state_d = args
+            (loss_g, (state_g, state_d)), grads_g = jax.value_and_grad(
+                g_loss, argnums=0, has_aux=True)(
+                    params_g, state_g, params_d, state_d, z_g, y_fake_g)
+            updates_g, opt_g = tx_g.update(grads_g, opt_g, params_g)
+            params_g = jax.tree.map(jnp.add, params_g, updates_g)
+            return (params_g, opt_g, state_g, state_d), loss_g
+
+        def skip_g_with_loss(args):
+            return args, jnp.zeros((), jnp.float32)
+
+        if n_critic == 1:
+            (params_g, opt_g, state_g, state_d), loss_g = do_g_with_loss(
+                (state.params_g, state.opt_g, state_g, state_d))
+        else:
+            is_g_step = (state.step % n_critic) == (n_critic - 1)
+            (params_g, opt_g, state_g, state_d), loss_g = lax.cond(
+                is_g_step, do_g_with_loss, skip_g_with_loss,
+                (state.params_g, state.opt_g, state_g, state_d))
+
+        metrics = dict(metrics, loss_g=loss_g)
+        new_state = TrainState(
+            params_g=params_g, state_g=state_g, opt_g=opt_g,
+            params_d=params_d, state_d=state_d, opt_d=opt_d,
+            rng=rng, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    donate = (0,) if cfg.train.donate else ()
+    return jax.jit(step, donate_argnums=donate)
+

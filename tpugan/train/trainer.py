@@ -1,0 +1,149 @@
+"""The public trainer API.
+
+``Trainer(cfg).train()`` reproduces the reference's training contract
+(alternating D/G optimization, periodic fixed-noise sample grids, periodic
+checkpoints, scalar logging, ``--resume``) on top of the single jitted train
+step.  Host-side behaviour is deliberately thin:
+
+- The step function runs async; the host only synchronizes on the metrics it
+  actually logs (every ``log_every`` steps), so the device queue stays full.
+- The input pipeline prefetches uint8 batches to the device in a background
+  thread (see data/pipeline.py).
+- Checkpoints save asynchronously (orbax) off the critical path.
+- The north-star counter ``images_per_sec`` (data images consumed per wall
+  second per chip) is computed between log points and logged with the losses.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan.ckpt import CheckpointManager
+from tpugan.configs import Config
+from tpugan.data import load_dataset, make_input_pipeline
+from tpugan.models import build_models
+from tpugan.sample import Sampler
+from tpugan.train.state import TrainState, create_train_state
+from tpugan.train.steps import build_train_step
+from tpugan.utils import MetricsLogger, make_grid, save_png, to_uint8
+from tpugan import ops
+
+
+class Trainer:
+    def __init__(self, cfg: Config, data: Optional[dict] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.cfg = cfg
+        ops.set_default_impl(cfg.train.kernels)
+        self.g, self.d = build_models(cfg.model, cfg.train.precision)
+        self.state: TrainState = create_train_state(cfg, self.g, self.d)
+        self.step_fn = build_train_step(cfg, self.g, self.d)
+        self.mesh = mesh
+        self.batch_sharding = None
+        if mesh is not None:
+            from tpugan.parallel import shard_train_state, batch_sharding
+
+            self.state = shard_train_state(self.state, mesh)
+            self.batch_sharding = batch_sharding(mesh)
+        self._data = data  # injected dataset (tests); else loaded lazily
+        self.logger: Optional[MetricsLogger] = None
+
+    # -- data ---------------------------------------------------------------
+    def _dataset(self) -> dict:
+        if self._data is None:
+            c = self.cfg
+            self._data = load_dataset(
+                c.data.dataset, c.data.data_dir,
+                image_size=c.model.image_size, channels=c.model.channels,
+                synthetic_size=c.data.synthetic_size, seed=c.train.seed,
+                n_classes=c.model.n_classes)
+        return self._data
+
+    # -- checkpoints --------------------------------------------------------
+    def save_checkpoint(self, ckpt: CheckpointManager) -> None:
+        ckpt.save(int(self.state.step), self.state, self.cfg.to_json())
+
+    def restore(self, path_or_dir: str) -> int:
+        ckpt = CheckpointManager(path_or_dir)
+        self.state = TrainState(**ckpt.restore(dict(self.state)))
+        if self.mesh is not None:
+            from tpugan.parallel import shard_train_state
+
+            self.state = shard_train_state(self.state, self.mesh)
+        return int(self.state.step)
+
+    # -- training -----------------------------------------------------------
+    def train(self, total_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        total_steps = total_steps or cfg.train.total_steps
+        out_dir = cfg.train.out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.logger = logger = MetricsLogger(out_dir)
+        ckpt = CheckpointManager(cfg.train.ckpt_dir)
+
+        if cfg.train.resume:
+            start = self.restore(cfg.train.resume)
+            print(f"resumed from step {start}")
+
+        data = self._dataset()
+        pipeline = make_input_pipeline(
+            data, cfg.data.batch_size, seed=cfg.train.seed,
+            with_labels=cfg.model.arch == "cdcgan",
+            sharding=self.batch_sharding)
+
+        sampler = Sampler(cfg, self.g, self.state.params_g,
+                          self.state.state_g)
+        fixed_z = sampler.noise(64, cfg.train.seed)
+        fixed_y = sampler.labels(64, cfg.train.seed)
+
+        last_metrics: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        imgs_since = 0
+        pending = None  # metrics pytree still on device
+
+        it = iter(pipeline)
+        start_step = int(self.state.step)
+        for i in range(start_step, total_steps):
+            batch = next(it)
+            self.state, metrics = self.step_fn(self.state, batch)
+            imgs_since += cfg.data.batch_size
+            pending = metrics
+
+            step_no = i + 1
+            if step_no % cfg.train.log_every == 0 or step_no == total_steps:
+                host = {k: float(v) for k, v in
+                        jax.device_get(pending).items()}
+                dt = time.perf_counter() - t0
+                host["images_per_sec"] = imgs_since / max(dt, 1e-9)
+                logger.log(step_no, host)
+                last_metrics = host
+                t0 = time.perf_counter()
+                imgs_since = 0
+
+            if cfg.train.sample_every and (
+                    step_no % cfg.train.sample_every == 0
+                    or step_no == total_steps):
+                sampler.update(self.state.params_g, self.state.state_g)
+                imgs = sampler.sample_fixed(fixed_z, fixed_y)
+                grid = make_grid(to_uint8(imgs), nrow=8)
+                save_png(os.path.join(out_dir, f"samples_{step_no:07d}.png"),
+                         grid)
+                logger.log_image(step_no, "samples", grid)
+
+            if cfg.train.ckpt_every and step_no % cfg.train.ckpt_every == 0:
+                self.save_checkpoint(ckpt)
+
+        self.save_checkpoint(ckpt)
+        ckpt.close()
+        logger.close()
+        return last_metrics
+
+    # -- public sampler handle ---------------------------------------------
+    def sampler(self) -> Sampler:
+        return Sampler(self.cfg, self.g, self.state.params_g,
+                       self.state.state_g)
