@@ -76,9 +76,20 @@ def bench_torch_cpu(image_size: int, batch: int, steps: int,
 # ---------------------------------------------------------------------------
 
 def bench_tpugan(image_size: int, batch: int, steps: int,
-                 warmup: int = 3) -> float:
+                 warmup: int = 2) -> float:
+    """On-device timing, robust to this box's PJRT quirks.
+
+    Two measurement hazards on the tunneled axon backend (verified):
+    ``block_until_ready`` returns before execution finishes, and any bulk
+    device→host fetch crawls through the relay.  So we chain ``k`` generator
+    invocations (fresh z per iteration) inside ONE jitted ``fori_loop`` that
+    reduces to a scalar checksum, fetch only that scalar, and take the
+    per-iteration time from a two-point subtraction (k_hi vs k_lo) which
+    cancels the fixed call/relay overhead.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from tpugan.configs import get_preset
     from tpugan.models import build_models
@@ -90,22 +101,39 @@ def bench_tpugan(image_size: int, batch: int, steps: int,
         cfg = cfg.override({"model.arch": "dcgan", "model.n_classes": "0"})
     g, d = build_models(cfg.model, "bf16")
     state = create_train_state(cfg, g, d)
+    nz = cfg.model.nz
 
-    @jax.jit
-    def forward(params_g, state_g, z):
-        img, _ = g.apply(params_g, state_g, z, train=False)
-        return img.astype(jnp.float32)
+    def gen_chain(k: int):
+        @jax.jit
+        def run(params_g, state_g, key):
+            def body(i, acc):
+                z = jax.random.normal(jax.random.fold_in(key, i),
+                                      (batch, nz), jnp.float32)
+                img, _ = g.apply(params_g, state_g, z, train=False)
+                return acc + jnp.sum(img.astype(jnp.float32))
 
-    z = jax.random.normal(jax.random.PRNGKey(0), (batch, cfg.model.nz),
-                          jnp.float32)
-    for _ in range(warmup):
-        jax.block_until_ready(forward(state.params_g, state.state_g, z))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = forward(state.params_g, state.state_g, z)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch * steps / dt
+            return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+
+        return run
+
+    k_lo, k_hi = max(2, steps // 5), steps
+    run_lo, run_hi = gen_chain(k_lo), gen_chain(k_hi)
+    key = jax.random.PRNGKey(0)
+    a = state.params_g, state.state_g, key
+    for _ in range(warmup):  # compile + warm both
+        float(run_lo(*a)), float(run_hi(*a))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        float(fn(*a))  # scalar fetch = true completion barrier
+        return time.perf_counter() - t0
+
+    t_lo = min(timed(run_lo) for _ in range(3))
+    t_hi = min(timed(run_hi) for _ in range(3))
+    per_iter = (t_hi - t_lo) / (k_hi - k_lo)
+    if per_iter <= 0:
+        raise RuntimeError(f"non-monotonic timing: {t_lo=} {t_hi=}")
+    return batch / per_iter
 
 
 def main():

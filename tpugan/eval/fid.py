@@ -1,0 +1,45 @@
+"""FID and Inception Score — the metric math, feature-source agnostic.
+
+FID = ‖μr−μf‖² + Tr(Σr + Σf − 2·(Σr·Σf)^{1/2}) over pooled features of real
+and generated image sets (Heusel et al. 2017).  IS = exp(E_x[KL(p(y|x) ‖
+p(y))]) over classifier probabilities (Salimans et al. 2016).  The math here
+is exactly the reference pipeline's; which network supplies features/probits
+is decided by eval/features.py (true InceptionV3 when weights are available,
+a deterministic proxy otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+
+
+def fid_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
+                      eps: float = 1e-6) -> float:
+    mu_r, mu_f = feat_real.mean(0), feat_fake.mean(0)
+    sig_r = np.cov(feat_real, rowvar=False)
+    sig_f = np.cov(feat_fake, rowvar=False)
+
+    diff = mu_r - mu_f
+    covmean, _ = scipy.linalg.sqrtm(sig_r @ sig_f, disp=False)
+    if not np.isfinite(covmean).all():
+        # regularize singular covariances
+        offset = np.eye(sig_r.shape[0]) * eps
+        covmean, _ = scipy.linalg.sqrtm(
+            (sig_r + offset) @ (sig_f + offset), disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sig_r) + np.trace(sig_f)
+                 - 2.0 * np.trace(covmean))
+
+
+def inception_score(probs: np.ndarray, splits: int = 10
+                    ) -> tuple[float, float]:
+    """probs: (N, n_classes) softmax outputs of the scoring classifier."""
+    n = len(probs)
+    scores = []
+    for part in np.array_split(probs, splits):
+        py = part.mean(0, keepdims=True)
+        kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))
+        scores.append(float(np.exp(kl.sum(1).mean())))
+    return float(np.mean(scores)), float(np.std(scores))

@@ -1,0 +1,148 @@
+"""Torch twin of the tpugan DCGAN family + weight transplant.
+
+Role (SURVEY.md §4 "Parity"): the reference is a PyTorch GAN playground; this
+module is its stand-in built from bare ``torch.nn`` (torchvision is absent in
+this container and the reference mount is empty).  The twin implements the
+*identical* computation in the reference's own framework so that:
+
+- layer/loss outputs can be compared bit-close after weight transplant,
+- per-step loss trajectories of whole training runs can be compared,
+- the torch-CPU throughput denominator (BASELINE.md) is measured on the same
+  architecture.
+
+Layout conventions (verified by tests/test_layers.py):
+  tpugan Conv  HWIO (kh,kw,ci,co)  == torch conv  weight.transpose(3,2,0,1)
+  tpugan ConvT HWIO (kh,kw,ci,co)  == torch convT weight.transpose(2,3,0,1)
+  tpugan Dense (din,dout)          == torch Linear weight.T
+Activations: tpugan NHWC == torch NCHW.transpose(0,2,3,1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from tpugan.models.dcgan import _d_schedule, _g_schedule
+
+
+class TorchGenerator(tnn.Module):
+    """Mirror of tpugan.models.dcgan.Generator (Dense head variant)."""
+
+    def __init__(self, image_size: int, channels: int, nz: int, ngf: int,
+                 batchnorm: bool = True):
+        super().__init__()
+        s0, chans = _g_schedule(image_size, ngf)
+        self.s0, self.c0 = s0, chans[0]
+        self.head = tnn.Linear(nz, s0 * s0 * chans[0], bias=not batchnorm)
+        self.head_bn = tnn.BatchNorm2d(chans[0]) if batchnorm else None
+        blocks = []
+        for cin, cout in zip(chans[:-1], chans[1:]):
+            blocks.append(tnn.ConvTranspose2d(cin, cout, 4, 2, 1,
+                                              bias=not batchnorm))
+            blocks.append(tnn.BatchNorm2d(cout) if batchnorm
+                          else tnn.Identity())
+            blocks.append(tnn.ReLU(True))
+        self.blocks = tnn.Sequential(*blocks)
+        self.final = tnn.ConvTranspose2d(chans[-1], channels, 4, 2, 1,
+                                         bias=True)
+
+    def forward(self, z):
+        x = self.head(z).view(-1, self.s0, self.s0, self.c0)
+        x = x.permute(0, 3, 1, 2)  # match tpugan's NHWC reshape order
+        if self.head_bn is not None:
+            x = self.head_bn(x)
+        x = torch.relu(x)
+        x = self.blocks(x)
+        return torch.tanh(self.final(x))
+
+
+class TorchDiscriminator(tnn.Module):
+    """Mirror of tpugan.models.dcgan.Discriminator."""
+
+    def __init__(self, image_size: int, channels: int, ndf: int,
+                 batchnorm: bool = True, leak: float = 0.2):
+        super().__init__()
+        s0, chans = _d_schedule(image_size, ndf)
+        layers = []
+        cin = channels
+        for i, cout in enumerate(chans):
+            bn = batchnorm and i > 0
+            layers.append(tnn.Conv2d(cin, cout, 4, 2, 1, bias=not bn))
+            if bn:
+                layers.append(tnn.BatchNorm2d(cout))
+            layers.append(tnn.LeakyReLU(leak, True))
+            cin = cout
+        self.features = tnn.Sequential(*layers)
+        self.s0, self.cl = s0, chans[-1]
+        self.tail = tnn.Linear(s0 * s0 * chans[-1], 1, bias=True)
+
+    def forward(self, x):
+        h = self.features(x)
+        h = h.permute(0, 2, 3, 1).reshape(h.shape[0], -1)  # NHWC flatten
+        return self.tail(h)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Weight transplant (tpugan params pytree -> torch modules)
+# ---------------------------------------------------------------------------
+
+
+def _t(a):
+    return torch.from_numpy(np.ascontiguousarray(a))
+
+
+@torch.no_grad()
+def transplant_g(params, state, tg: TorchGenerator) -> None:
+    head = params["head"]
+    tg.head.weight.copy_(_t(np.asarray(head["dense"]["w"]).T))
+    if "b" in head["dense"]:
+        tg.head.bias.copy_(_t(np.asarray(head["dense"]["b"])))
+    if tg.head_bn is not None:
+        _copy_bn(head["bn"], state["head"]["bn"], tg.head_bn)
+
+    convt_layers = [m for m in tg.blocks if isinstance(m, tnn.ConvTranspose2d)]
+    bn_layers = [m for m in tg.blocks if isinstance(m, tnn.BatchNorm2d)]
+    i = 0
+    while f"block{i}" in params:
+        blk = params[f"block{i}"]
+        convt_layers[i].weight.copy_(
+            _t(np.asarray(blk["conv"]["w"]).transpose(2, 3, 0, 1)))
+        if "b" in blk["conv"]:
+            convt_layers[i].bias.copy_(_t(np.asarray(blk["conv"]["b"])))
+        if i < len(bn_layers):
+            _copy_bn(blk["bn"], state[f"block{i}"]["bn"], bn_layers[i])
+        i += 1
+    fin = params["final"]
+    tg.final.weight.copy_(
+        _t(np.asarray(fin["conv"]["w"]).transpose(2, 3, 0, 1)))
+    tg.final.bias.copy_(_t(np.asarray(fin["conv"]["b"])))
+
+
+@torch.no_grad()
+def transplant_d(params, state, td: TorchDiscriminator) -> None:
+    convs = [m for m in td.features if isinstance(m, tnn.Conv2d)]
+    bns = [m for m in td.features if isinstance(m, tnn.BatchNorm2d)]
+    bn_idx = 0
+    i = 0
+    while f"block{i}" in params:
+        blk = params[f"block{i}"]
+        convs[i].weight.copy_(
+            _t(np.asarray(blk["conv"]["w"]).transpose(3, 2, 0, 1)))
+        if "b" in blk["conv"]:
+            convs[i].bias.copy_(_t(np.asarray(blk["conv"]["b"])))
+        if "bn" in blk:
+            _copy_bn(blk["bn"], state[f"block{i}"]["bn"], bns[bn_idx])
+            bn_idx += 1
+        i += 1
+    tail = params["tail"]["dense"]
+    td.tail.weight.copy_(_t(np.asarray(tail["w"]).T))
+    td.tail.bias.copy_(_t(np.asarray(tail["b"])))
+
+
+@torch.no_grad()
+def _copy_bn(bn_params, bn_state, tbn: tnn.BatchNorm2d) -> None:
+    tbn.weight.copy_(_t(np.asarray(bn_params["scale"])))
+    tbn.bias.copy_(_t(np.asarray(bn_params["bias"])))
+    tbn.running_mean.copy_(_t(np.asarray(bn_state["mean"])))
+    tbn.running_var.copy_(_t(np.asarray(bn_state["var"])))

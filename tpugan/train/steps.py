@@ -115,7 +115,12 @@ def build_train_step(cfg: Config, g: Module, d: Module
             x_real = jnp.where(flip, x_real[:, :, ::-1, :], x_real)
 
         # --- D update (every call) ---
-        z_d = jax.random.normal(k_zd, (bsz, nz), jnp.float32)
+        # Parity harness hook: externally-injected noise ("z_d"/"z_g" in the
+        # batch) replaces the internal draw so torch-twin runs can be fed
+        # bit-identical inputs. Normal training never passes these keys.
+        z_d = batch.get("z_d")
+        if z_d is None:
+            z_d = jax.random.normal(k_zd, (bsz, nz), jnp.float32)
         y_fake_d = (jax.random.randint(k_yd, (bsz,), 0, n_classes)
                     if conditional else None)
         grads, (state_d, state_g, metrics) = d_grad(
@@ -129,7 +134,9 @@ def build_train_step(cfg: Config, g: Module, d: Module
                 lambda p: jnp.clip(p, -clip, clip), params_d)
 
         # --- G update (every n_critic-th call) ---
-        z_g = jax.random.normal(k_zg, (bsz, nz), jnp.float32)
+        z_g = batch.get("z_g")
+        if z_g is None:
+            z_g = jax.random.normal(k_zg, (bsz, nz), jnp.float32)
         y_fake_g = (jax.random.randint(k_yg, (bsz,), 0, n_classes)
                     if conditional else None)
 
