@@ -76,7 +76,7 @@ def bench_torch_cpu(image_size: int, batch: int, steps: int,
 # ---------------------------------------------------------------------------
 
 def bench_tpugan(image_size: int, batch: int, steps: int,
-                 warmup: int = 2) -> float:
+                 warmup: int = 2, impl: str = "xla") -> float:
     """On-device timing, robust to this box's PJRT quirks.
 
     Two measurement hazards on the tunneled axon backend (verified):
@@ -103,14 +103,25 @@ def bench_tpugan(image_size: int, batch: int, steps: int,
     state = create_train_state(cfg, g, d)
     nz = cfg.model.nz
 
+    if impl == "pallas":
+        from tpugan.ops import pallas_gen
+
+        def forward(params_g, state_g, z):
+            return pallas_gen.generator_forward(g, params_g, state_g, z,
+                                                out_dtype=jnp.float32)
+    else:
+        def forward(params_g, state_g, z):
+            img, _ = g.apply(params_g, state_g, z, train=False)
+            return img.astype(jnp.float32)
+
     def gen_chain(k: int):
         @jax.jit
         def run(params_g, state_g, key):
             def body(i, acc):
                 z = jax.random.normal(jax.random.fold_in(key, i),
                                       (batch, nz), jnp.float32)
-                img, _ = g.apply(params_g, state_g, z, train=False)
-                return acc + jnp.sum(img.astype(jnp.float32))
+                img = forward(params_g, state_g, z)
+                return acc + jnp.sum(img)
 
             return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
@@ -155,18 +166,23 @@ def main():
                                 args.torch_steps)
     log(f"torch-cpu reference @{args.image_size}: {torch_ips:.1f} images/s")
 
-    best, best_batch = 0.0, 0
-    for batch in (256, 512, 1024) if args.image_size == 64 else (64, 128, 256):
-        try:
-            ips = bench_tpugan(args.image_size, batch, args.steps)
-        except Exception as e:  # OOM at large batch: keep the best smaller one
-            log(f"tpugan batch {batch}: failed ({type(e).__name__})")
-            continue
-        log(f"tpugan @{args.image_size} batch {batch}: {ips:.1f} images/s")
-        if ips > best:
-            best, best_batch = ips, batch
+    best, best_batch, best_impl = 0.0, 0, ""
+    batches = (512, 1024) if args.image_size == 64 else (128, 256)
+    for impl in ("xla", "pallas"):
+        for batch in batches:
+            try:
+                ips = bench_tpugan(args.image_size, batch, args.steps,
+                                   impl=impl)
+            except Exception as e:  # OOM/unsupported: keep best so far
+                log(f"tpugan {impl} batch {batch}: failed "
+                    f"({type(e).__name__}: {e})")
+                continue
+            log(f"tpugan {impl} @{args.image_size} batch {batch}: "
+                f"{ips:.1f} images/s")
+            if ips > best:
+                best, best_batch, best_impl = ips, batch, impl
 
-    log(f"best: batch {best_batch}: {best:.1f} images/s "
+    log(f"best: {best_impl} batch {best_batch}: {best:.1f} images/s "
         f"({best / torch_ips:.2f}x torch-cpu)")
     print(json.dumps({
         "metric": f"gen_images_per_sec_{args.image_size}x{args.image_size}",

@@ -1,0 +1,139 @@
+"""Pallas kernels vs pure-XLA reference (interpret mode on CPU).
+
+The compiled Mosaic path is exercised on the real chip by bench.py; these
+tests pin the kernel *math*: phase-decomposed transpose conv, parity-plane
+strided conv, fused affine+activation epilogues, and the whole-generator
+megakernel against an identical-math XLA graph.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from tpugan.configs import get_preset
+from tpugan.models import build_models
+from tpugan.ops import pallas_conv, pallas_convt, pallas_gen
+from tpugan.ops.convs import conv2d as xla_conv
+from tpugan.ops.convs import conv_transpose2d as xla_convt
+
+
+@pytest.mark.parametrize("n,h,cin,cout", [(4, 4, 32, 16), (2, 8, 16, 8),
+                                          (3, 16, 8, 8)])
+def test_pallas_convt_matches_xla(rng, n, h, cin, cout):
+    x = jnp.asarray(rng.standard_normal((n, h, h, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((4, 4, cin, cout)).astype(np.float32) * 0.1)
+    ref = xla_convt(x, w, stride=2, padding=1, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_convt.conv_transpose2d(x, w, stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_convt_fused_epilogue(rng):
+    n, h, cin, cout = 2, 8, 16, 8
+    x = jnp.asarray(rng.standard_normal((n, h, h, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((4, 4, cin, cout)).astype(np.float32) * 0.1)
+    a = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    ref = jax.nn.relu(
+        np.asarray(xla_convt(x, w, stride=2, padding=1, impl="xla")) * a + b)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_convt.convt_affine_act(x, w, a, b, act="relu",
+                                            out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,h,cin,cout", [(4, 8, 16, 32), (2, 32, 3, 16)])
+def test_pallas_conv_matches_xla(rng, n, h, cin, cout):
+    x = jnp.asarray(rng.standard_normal((n, h, h, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((4, 4, cin, cout)).astype(np.float32) * 0.1)
+    ref = xla_conv(x, w, stride=2, padding=1, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_conv.conv2d(x, w, stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_conv_fused_leaky(rng):
+    n, h, cin, cout = 2, 16, 8, 16
+    x = jnp.asarray(rng.standard_normal((n, h, h, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((4, 4, cin, cout)).astype(np.float32) * 0.1)
+    a = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    ref = jax.nn.leaky_relu(
+        np.asarray(xla_conv(x, w, stride=2, padding=1, impl="xla")) * a + b,
+        0.2)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_conv.conv_affine_act(x, w, a, b, act="leaky_relu",
+                                          out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_unsupported_shapes_return_none(rng):
+    x = jnp.zeros((2, 8, 8, 4))
+    w3 = jnp.zeros((3, 3, 4, 8))
+    assert pallas_convt.conv_transpose2d(x, w3, stride=2, padding=1) is None
+    assert pallas_conv.conv2d(x, w3, stride=2, padding=1) is None
+    w4 = jnp.zeros((4, 4, 4, 8))
+    assert pallas_convt.conv_transpose2d(x, w4, stride=1, padding=1) is None
+
+
+def test_generator_megakernel_matches_folded_xla(rng):
+    """Whole-G megakernel == identical-math XLA graph (bf16 tolerance)."""
+    from tpugan.ops.convs import conv_transpose2d
+
+    cfg = get_preset("dcgan_celeba64").override(
+        {"model.ngf": 16, "model.ndf": 16})
+    g, _ = build_models(cfg.model, "fp32")
+    params, state = g.init(jax.random.PRNGKey(0))
+    z = jnp.asarray(rng.standard_normal((8, cfg.model.nz)).astype(np.float32))
+    _, state = g.apply(params, state, z, train=True)  # realistic BN stats
+
+    (wh, ah, bh), blocks, (s0, c0) = pallas_gen.fold_generator(
+        g, params, state)
+
+    def xla_folded(zz):
+        h = jnp.dot(zz.astype(jnp.bfloat16), wh.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        h = h * ah + bh
+        x = jax.nn.relu(h).reshape(-1, s0, s0, c0).astype(jnp.bfloat16)
+        for i, (w, a, b) in enumerate(blocks):
+            y = conv_transpose2d(x, w.astype(jnp.bfloat16), stride=2,
+                                 padding=1, impl="xla")
+            y = y.astype(jnp.float32) * a + b
+            y = jnp.tanh(y) if i == len(blocks) - 1 else jax.nn.relu(y)
+            x = y.astype(jnp.bfloat16)
+        return x.astype(jnp.float32)
+
+    ref = np.asarray(xla_folded(z))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pallas_gen.generator_forward(
+            g, params, state, z, out_dtype=jnp.float32))
+    assert got.shape == (8, 64, 64, 3)
+    err = np.abs(ref - got)
+    # identical math up to matmul ordering; tanh slope amplifies bf16 ulps
+    assert np.percentile(err, 99.9) < 1e-2
+    assert err.mean() < 1e-4
+
+
+def test_megakernel_matches_eval_apply_close(rng):
+    """Megakernel vs the real eval path at realistic weight scale."""
+    cfg = get_preset("dcgan_celeba64").override(
+        {"model.ngf": 16, "model.ndf": 16})
+    g, _ = build_models(cfg.model, "bf16")
+    params, state = g.init(jax.random.PRNGKey(2))
+    z = jnp.asarray(rng.standard_normal((4, cfg.model.nz)).astype(np.float32))
+    _, state = g.apply(params, state, z, train=True)
+
+    ref = np.asarray(g.apply(params, state, z, train=False)[0], np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pallas_gen.generator_forward(
+            g, params, state, z, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=5e-2)

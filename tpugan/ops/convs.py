@@ -36,7 +36,14 @@ def set_default_impl(impl: str) -> None:
 
 
 def _resolve(impl):
-    return _DEFAULT_IMPL if impl is None else impl
+    import jax
+
+    impl = _DEFAULT_IMPL if impl is None else impl
+    # Pallas TPU kernels have no CPU/GPU lowering (tests exercise them via
+    # interpret mode explicitly); keep non-TPU backends on the XLA path.
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        return "xla"
+    return impl
 
 
 def conv2d(x, w, *, stride: int, padding: int, impl: str | None = None):

@@ -21,8 +21,30 @@ from tpugan.utils.images import make_grid, save_png, to_uint8
 
 
 def build_sample_fn(cfg: Config, g: Module):
-    """Jitted eval-mode sampler: (params_g, state_g, z[, y]) -> images f32."""
+    """Jitted eval-mode sampler: (params_g, state_g, z[, y]) -> images f32.
+
+    With ``train.kernels == "pallas"`` the unconditional DCGAN generator runs
+    as the whole-network Pallas megakernel (ops/pallas_gen.py) — activations
+    stay in VMEM for the entire forward.  Unsupported shapes fall back to the
+    XLA path transparently.
+    """
     conditional = cfg.model.arch == "cdcgan"
+
+    if (cfg.train.kernels == "pallas" and not conditional
+            and jax.default_backend() == "tpu"):
+        from tpugan.ops import pallas_gen
+
+        def sample_pallas(params_g, state_g, z, y=None):
+            out = pallas_gen.generator_forward(g, params_g, state_g, z,
+                                               out_dtype=jnp.float32)
+            if out is not None:
+                return out
+            img, _ = jax.jit(
+                lambda p, s, zz: g.apply(p, s, zz, train=False)[0]
+            )(params_g, state_g, z)
+            return img.astype(jnp.float32)
+
+        return sample_pallas
 
     @jax.jit
     def sample(params_g, state_g, z, y=None):
