@@ -35,8 +35,8 @@ def synth_batch(cfg, seed=0):
 
 
 @pytest.mark.parametrize("name", [
-    "dcgan_mnist", "lsgan_cifar10", "wgan_gp_cifar10", "sngan_cifar10",
-    "cdcgan_celeba64",
+    "dcgan_mnist", "lsgan_cifar10", "wgan_cifar10", "wgan_gp_cifar10",
+    "sngan_cifar10", "cdcgan_celeba64",
 ])
 def test_step_runs_and_is_finite(name):
     cfg = tiny(name)

@@ -86,6 +86,7 @@ class TrainConfig:
     log_every: int = 50
     sample_every: int = 500
     ckpt_every: int = 1000
+    eval_every: int = 0  # FID/IS-proxy eval cadence (0 = only on demand)
     ckpt_dir: str = "runs/ckpt"
     out_dir: str = "runs/out"
     seed: int = 0
@@ -180,19 +181,23 @@ def _mnist() -> Config:
 
 
 def _cifar(name: str, loss_kind: str, sn: bool = False) -> Config:
-    n_critic = 5 if loss_kind == "wgan_gp" else 1
+    n_critic = 5 if loss_kind in ("wgan", "wgan_gp") else 1
     optim = OptimConfig()
     if loss_kind == "wgan_gp":
         # Adam(1e-4, 0.5/0.9) is the canonical WGAN-GP setting.
         optim = OptimConfig(lr_g=1e-4, lr_d=1e-4, beta1=0.5, beta2=0.9)
+    elif loss_kind == "wgan":
+        # original WGAN: RMSprop(5e-5) + weight clipping
+        optim = OptimConfig(optimizer="rmsprop", lr_g=5e-5, lr_d=5e-5)
     return Config(
         name=name,
         model=ModelConfig(
             arch="dcgan", image_size=32, channels=3, nz=100, ngf=64, ndf=64,
             g_batchnorm=True,
-            # WGAN-GP's penalty is per-sample; BN in D breaks it. SNGAN uses SN
-            # instead of BN in D. Plain DCGAN/LSGAN keep BN in both G and D.
-            d_batchnorm=(loss_kind in ("bce", "lsgan")) and not sn,
+            # WGAN-GP's penalty is per-sample; BN in D breaks it. SNGAN uses
+            # SN instead of BN in D. DCGAN/LSGAN and original (clipped) WGAN
+            # keep BN in both G and D.
+            d_batchnorm=(loss_kind in ("bce", "lsgan", "wgan")) and not sn,
             d_spectral_norm=sn,
         ),
         loss=LossConfig(kind=loss_kind, n_critic=n_critic),
@@ -220,6 +225,7 @@ _PRESETS = {
     "dcgan_mnist": _mnist,
     "dcgan_cifar10": lambda: _cifar("dcgan_cifar10", "bce"),
     "lsgan_cifar10": lambda: _cifar("lsgan_cifar10", "lsgan"),
+    "wgan_cifar10": lambda: _cifar("wgan_cifar10", "wgan"),
     "wgan_gp_cifar10": lambda: _cifar("wgan_gp_cifar10", "wgan_gp"),
     "sngan_cifar10": lambda: _cifar("sngan_cifar10", "hinge", sn=True),
     "dcgan_celeba64": lambda: dataclasses.replace(

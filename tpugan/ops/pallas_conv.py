@@ -102,6 +102,8 @@ def _dispatch(x, w, a, b, act, leak, out_dtype):
         out_specs=pl.BlockSpec((bt, Ho, Wo, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, Ho, Wo, cout), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(*planes, w, a, b)
 
 

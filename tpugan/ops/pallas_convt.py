@@ -63,8 +63,10 @@ def _kernel(x_ref, w_ref, a_ref, b_ref, out_ref, *, H, W, cin, cout,
     a = a_ref[...].reshape(1, cout)  # (1, cout) f32
     b = b_ref[...].reshape(1, cout)
 
-    # out_ref: (BT, H, 2, W, 2, cout) — phase dims separate; (N,H,2,W,2,C)
-    # reshapes to (N,2H,2W,C) bit-for-bit, so the caller's reshape is free.
+    # out_ref: (BT, 2H, 2W, cout); each phase lands via a strided store
+    # (verified supported by Mosaic — benchmarks/probe_mosaic.py; the
+    # integer-indexed 6-D store form is NOT, it lowers to an unsupported
+    # singleton-expanding shape cast).
     for di in (0, 1):
         for dj in (0, 1):
             acc = jnp.zeros((bt * H * W, cout), jnp.float32)
@@ -76,7 +78,7 @@ def _kernel(x_ref, w_ref, a_ref, b_ref, out_ref, *, H, W, cin, cout,
                     acc = acc + jnp.dot(xs, w[kh, kw],
                                         preferred_element_type=jnp.float32)
             y = _act(acc * a + b, act, leak)
-            out_ref[:, :, di, :, dj, :] = (
+            out_ref[:, di::2, dj::2, :] = (
                 y.reshape(bt, H, W, cout).astype(out_dtype))
 
 
@@ -116,11 +118,13 @@ def _dispatch(x, w, a, b, act, leak, out_dtype):
             pl.BlockSpec((1, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, H, 2, Wd, 2, cout),
-                               lambda i: (i, 0, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((bt, 2 * H, 2 * Wd, cout),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, H, 2, Wd, 2, cout), out_dtype),
-    )(xp, w, a, b).reshape(n, 2 * H, 2 * Wd, cout)
+        out_shape=jax.ShapeDtypeStruct((n, 2 * H, 2 * Wd, cout), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(xp, w, a, b)
 
 
 def convt_affine_act(x, w, scale, shift, *, act: str = "relu",

@@ -23,8 +23,7 @@ from the config seed alone and resume exactly from a checkpoint.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -135,6 +135,18 @@ class Trainer:
                          grid)
                 logger.log_image(step_no, "samples", grid)
 
+            if cfg.train.eval_every and step_no % cfg.train.eval_every == 0:
+                from tpugan.eval import evaluate
+
+                scores = evaluate(cfg, self.g, self.state.params_g,
+                                  self.state.state_g, seed=cfg.train.seed,
+                                  real_images=data["images"][:cfg.eval.fid_n])
+                logger.log(step_no,
+                           {k: v for k, v in scores.items()
+                            if isinstance(v, (int, float))}, prefix="eval")
+                t0 = time.perf_counter()  # don't count eval in images/sec
+                imgs_since = 0
+
             if cfg.train.ckpt_every and step_no % cfg.train.ckpt_every == 0:
                 self.save_checkpoint(ckpt)
 
