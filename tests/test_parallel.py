@@ -74,3 +74,35 @@ def test_batch_actually_sharded():
 def test_mesh_subset():
     mesh = make_mesh(4)
     assert mesh.devices.size == 4
+
+
+def test_fsdp_2d_mesh_matches_single_device():
+    """(data=4, model=2) FSDP placement: same numerics, sharded weights."""
+    from tpugan.parallel.fsdp import (
+        batch_sharding_2d,
+        make_mesh_2d,
+        shard_train_state_fsdp,
+    )
+
+    cfg = tiny()
+    g, d = build_models(cfg.model, cfg.train.precision)
+    step = build_train_step(cfg, g, d)
+    b = batch(cfg)
+
+    s1 = create_train_state(cfg, g, d)
+    s1, m1 = step(s1, b)
+
+    mesh = make_mesh_2d(4, 2)
+    s8 = shard_train_state_fsdp(create_train_state(cfg, g, d), mesh)
+    # conv weights must actually be sharded over the model axis
+    w = s8.params_g["block0"]["conv"]["w"]
+    shard_shapes = {tuple(sh.data.shape) for sh in w.addressable_shards}
+    assert all(s[-1] == w.shape[-1] // 2 for s in shard_shapes), shard_shapes
+    b8 = jax.device_put(b, batch_sharding_2d(mesh))
+    s8, m8 = step(s8, b8)
+
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m8["loss_d"]),
+                               rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(jax.device_get(s1.params_g)),
+                    jax.tree.leaves(jax.device_get(s8.params_g))):
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)

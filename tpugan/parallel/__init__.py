@@ -5,3 +5,9 @@ from tpugan.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_train_state,
 )
+from tpugan.parallel.fsdp import (  # noqa: F401
+    batch_sharding_2d,
+    make_mesh_2d,
+    shard_params_fsdp,
+    shard_train_state_fsdp,
+)
