@@ -147,3 +147,20 @@ def test_wgan_weight_clipping():
     state, _ = step(state, synth_batch(cfg))
     for leaf in jax.tree.leaves(jax.device_get(state.params_d)):
         assert np.max(np.abs(leaf)) <= 0.01 + 1e-7
+
+
+@pytest.mark.parametrize("name", ["dcgan_mnist", "wgan_gp_cifar10",
+                                  "sngan_cifar10"])
+def test_bf16_training_step(name):
+    """Default mixed precision must train (incl. the GP double backward);
+    regression: f32-preferred conv output broke the conv VJP dtype match."""
+    cfg = tiny(name, **{"train.precision": "bf16"})
+    g, d = build_models(cfg.model, "bf16")
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    state, metrics = step(state, synth_batch(cfg))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{name} bf16: {k} not finite"
+    # params stay fp32 master copies
+    for leaf in jax.tree.leaves(state.params_g):
+        assert leaf.dtype == jnp.float32

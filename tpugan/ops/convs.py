@@ -55,12 +55,14 @@ def conv2d(x, w, *, stride: int, padding: int, impl: str | None = None):
         y = pallas_conv.conv2d(x, w, stride=stride, padding=padding)
         if y is not None:
             return y
+    # No preferred_element_type: the MXU accumulates bf16 convs in fp32
+    # internally and rounds once on output, and a mixed-dtype cotangent in
+    # the conv transpose rule breaks autodiff (f32 cotangent vs bf16 weight).
     return lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=[(padding, padding)] * 2,
         dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -89,5 +91,4 @@ def conv_transpose2d(x, w, *, stride: int, padding: int,
         padding=[(pad, pad)] * 2,
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32,
     )
