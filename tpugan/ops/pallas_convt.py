@@ -63,11 +63,14 @@ def _kernel(x_ref, w_ref, a_ref, b_ref, out_ref, *, H, W, cin, cout,
     a = a_ref[...].reshape(1, cout)  # (1, cout) f32
     b = b_ref[...].reshape(1, cout)
 
-    # out_ref: (BT, 2H, 2W, cout); each phase lands via a strided store
-    # (verified supported by Mosaic — benchmarks/probe_mosaic.py; the
-    # integer-indexed 6-D store form is NOT, it lowers to an unsupported
-    # singleton-expanding shape cast).
+    # Phase interleave notes (hardware-verified, benchmarks/probe_mosaic.py):
+    # Mosaic compiles the rank-6 fp32 stack+reshape and fp32 strided stores,
+    # but CRASHES on bf16 strided stores and rejects integer-indexed 6-D ref
+    # stores ("unsupported shape cast"). So: accumulate phases in fp32,
+    # interleave with the fp32 stack, cast once, one contiguous store.
+    rows = []
     for di in (0, 1):
+        cols = []
         for dj in (0, 1):
             acc = jnp.zeros((bt * H * W, cout), jnp.float32)
             for kh, oh in _TAPS[di]:
@@ -78,16 +81,19 @@ def _kernel(x_ref, w_ref, a_ref, b_ref, out_ref, *, H, W, cin, cout,
                     acc = acc + jnp.dot(xs, w[kh, kw],
                                         preferred_element_type=jnp.float32)
             y = _act(acc * a + b, act, leak)
-            out_ref[:, di::2, dj::2, :] = (
-                y.reshape(bt, H, W, cout).astype(out_dtype))
+            cols.append(y.reshape(bt, H, W, cout))
+        rows.append(jnp.stack(cols, axis=3))      # (BT,H,W,2,C) f32
+    full = jnp.stack(rows, axis=2)                # (BT,H,2,W,2,C) f32
+    out_ref[...] = full.reshape(bt, 2 * H, 2 * W, cout).astype(out_dtype)
 
 
 def _vmem_bytes(bt, H, W, cin, cout, in_bytes=2):
     x = bt * (H + 2) * (W + 2) * cin * in_bytes
     w = 16 * cin * cout * in_bytes
-    acc = 4 * bt * H * W * cout * 4
+    acc = 4 * bt * H * W * cout * 4  # 4 f32 phases
+    stack = 4 * bt * H * W * cout * 4  # f32 interleave temp
     out = bt * 4 * H * W * cout * in_bytes
-    return x + w + acc + out
+    return x + w + acc + stack + out
 
 
 @functools.partial(jax.jit, static_argnames=("act", "leak", "out_dtype"))

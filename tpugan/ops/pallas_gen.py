@@ -31,11 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 from tpugan.ops.fused import bn_affine
 
 _TAPS = {0: [(1, 0), (3, -1)], 1: [(0, 1), (2, 0)]}
-# v5e has 128MB VMEM; the Mosaic default scoped limit is 16MB — we raise it
-# via CompilerParams and budget conservatively below it (double buffering and
-# relayout temporaries aren't in our accounting).
-_VMEM_LIMIT = 96 * 1024 * 1024
-_VMEM_BUDGET = 40 * 1024 * 1024
+# The Mosaic default scoped-VMEM limit is 16MB; raising it to 64MB is
+# hardware-verified OK on this v5e (benchmarks/probe_mosaic.py bisect).
+# Budget conservatively below it — double buffering and relayout
+# temporaries aren't all in our accounting.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_BUDGET = 36 * 1024 * 1024
 
 
 def _convt_block(x, w, a, b, act: str):
@@ -59,8 +60,9 @@ def _convt_block(x, w, a, b, act: str):
                 y = jax.nn.relu(y)
             elif act == "tanh":
                 y = jnp.tanh(y)
-            # cast each phase to bf16 immediately: halves live VMEM
-            cols.append(y.reshape(bt, H, W, cout).astype(jnp.bfloat16))
+            # keep phases fp32 through the interleave: Mosaic's bf16
+            # relayout paths crash the compiler (probe_mosaic findings)
+            cols.append(y.reshape(bt, H, W, cout))
         rows.append(jnp.stack(cols, axis=3))  # (BT,H,W,2,C)
     full = jnp.stack(rows, axis=2)  # (BT,H,2,W,2,C)
     # bit-exact interleave: (BT,H,2,W,2,C) -> (BT,2H,2W,C)
@@ -137,9 +139,9 @@ def _vmem_bytes(bt, s0, c0, blocks):
         wbytes += w.size * 2 + (a.size + b.size) * 4
         live = (bt * h * h * c * 2          # x bf16
                 + bt * (h + 2) * (h + 2) * c * 2  # padded
-                + bt * h * h * cout * 4          # one f32 phase accumulator
-                + 4 * bt * h * h * cout * 2      # 4 bf16 phases
-                + 2 * bt * 4 * h * h * cout * 2)  # stack/reshape temps
+                + 4 * bt * h * h * cout * 4      # 4 f32 phases
+                + 4 * bt * h * h * cout * 4      # f32 stack temp
+                + bt * 4 * h * h * cout * 2)     # bf16 out
         act_peak = max(act_peak, live)
         h, c = h * 2, cout
     return wbytes + 2 * act_peak
