@@ -131,3 +131,44 @@ def test_training_loss_trajectory_matches_torch(rng):
     ours = np.asarray(losses_ours)
     ref = np.asarray(losses_torch)
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-3)
+
+
+def test_conditional_forward_matches_torch_twin(rng):
+    """cDCGAN G and D match the torch twin after weight transplant."""
+    from tpugan.parity.torch_twin import (
+        TorchCondDiscriminator,
+        TorchCondGenerator,
+        transplant_cond_d,
+        transplant_cond_g,
+    )
+
+    cfg = get_preset("cdcgan_celeba64").override({
+        "model.ngf": 16, "model.ndf": 16, "model.nz": 16,
+        "model.embed_dim": 8, "train.precision": "fp32"})
+    g, d = build_models(cfg.model, "fp32")
+    gp, gs = g.init(jax.random.PRNGKey(0))
+    dp, ds = d.init(jax.random.PRNGKey(1))
+
+    tg = TorchCondGenerator(64, 3, 16, 16, n_classes=2, embed_dim=8).eval()
+    td = TorchCondDiscriminator(64, 3, 16, n_classes=2, embed_dim=8).eval()
+    transplant_cond_g(gp, gs, tg)
+    transplant_cond_d(dp, ds, td)
+
+    z = rng.standard_normal((4, 16)).astype(np.float32)
+    y = np.array([0, 1, 1, 0], np.int64)
+    ours, _ = g.apply(gp, gs, (jnp.asarray(z), jnp.asarray(y.astype(np.int32))),
+                      train=False)
+    with torch.no_grad():
+        theirs = tg(torch.from_numpy(z), torch.from_numpy(y))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4)
+
+    x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+    ours_d, _ = d.apply(dp, ds, (jnp.asarray(x), jnp.asarray(y.astype(np.int32))),
+                        train=False)
+    with torch.no_grad():
+        theirs_d = td(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(y))
+    np.testing.assert_allclose(np.asarray(ours_d), theirs_d.numpy(),
+                               rtol=1e-4, atol=1e-4)

@@ -192,11 +192,14 @@ def _call(z, wh, ah, bh, flat_blocks, s0, c0, out_dtype, bt):
 
 
 def generator_forward(g, params, state, z, *, out_dtype=jnp.float32,
-                      eps: float = 1e-5):
+                      eps: float = 1e-5, batch_tile: int = 8):
     """Run the whole generator (eval mode) as one Pallas kernel.
 
     Returns None if the model shape is unsupported (caller falls back to the
-    XLA path)."""
+    XLA path).  ``batch_tile`` fixes the per-program batch tile (8 is the
+    hardware-validated default for the G-64 shapes; larger tiles have
+    triggered Mosaic compiler crashes) — shrunk automatically to fit VMEM
+    and divide the batch."""
     try:
         (wh, ah, bh), blocks, (s0, c0) = fold_generator(g, params, state, eps)
     except (KeyError, AttributeError):
@@ -205,7 +208,7 @@ def generator_forward(g, params, state, z, *, out_dtype=jnp.float32,
         if w.shape[0] != 4 or w.shape[1] != 4:
             return None
     n = z.shape[0]
-    bt = n
+    bt = min(batch_tile, n)
     while bt > 1 and (_vmem_bytes(bt, s0, c0, blocks) > _VMEM_BUDGET
                       or n % bt != 0):
         bt //= 2

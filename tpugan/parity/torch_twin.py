@@ -30,11 +30,12 @@ class TorchGenerator(tnn.Module):
     """Mirror of tpugan.models.dcgan.Generator (Dense head variant)."""
 
     def __init__(self, image_size: int, channels: int, nz: int, ngf: int,
-                 batchnorm: bool = True):
+                 batchnorm: bool = True, head_in: int = 0):
         super().__init__()
         s0, chans = _g_schedule(image_size, ngf)
         self.s0, self.c0 = s0, chans[0]
-        self.head = tnn.Linear(nz, s0 * s0 * chans[0], bias=not batchnorm)
+        self.head = tnn.Linear(head_in or nz, s0 * s0 * chans[0],
+                               bias=not batchnorm)
         self.head_bn = tnn.BatchNorm2d(chans[0]) if batchnorm else None
         blocks = []
         for cin, cout in zip(chans[:-1], chans[1:]):
@@ -81,6 +82,54 @@ class TorchDiscriminator(tnn.Module):
         h = self.features(x)
         h = h.permute(0, 2, 3, 1).reshape(h.shape[0], -1)  # NHWC flatten
         return self.tail(h)[:, 0]
+
+
+class TorchCondGenerator(tnn.Module):
+    """Mirror of tpugan.models.cdcgan.CondGenerator (embed + concat z)."""
+
+    def __init__(self, image_size: int, channels: int, nz: int, ngf: int,
+                 n_classes: int, embed_dim: int = 50, batchnorm: bool = True):
+        super().__init__()
+        self.embed = tnn.Embedding(n_classes, embed_dim)
+        self.g = TorchGenerator(image_size, channels, nz, ngf,
+                                batchnorm=batchnorm,
+                                head_in=nz + embed_dim)
+
+    def forward(self, z, y):
+        e = self.embed(y)
+        return self.g(torch.cat([z, e], dim=-1))
+
+
+class TorchCondDiscriminator(tnn.Module):
+    """Mirror of CondDiscriminator (embed -> dense plane -> extra channel)."""
+
+    def __init__(self, image_size: int, channels: int, ndf: int,
+                 n_classes: int, embed_dim: int = 50, batchnorm: bool = True):
+        super().__init__()
+        self.image_size = image_size
+        self.embed = tnn.Embedding(n_classes, embed_dim)
+        self.proj = tnn.Linear(embed_dim, image_size * image_size)
+        self.d = TorchDiscriminator(image_size, channels + 1, ndf,
+                                    batchnorm=batchnorm)
+
+    def forward(self, x, y):
+        s = self.image_size
+        plane = self.proj(self.embed(y)).view(-1, 1, s, s)
+        return self.d(torch.cat([x, plane], dim=1))
+
+
+@torch.no_grad()
+def transplant_cond_g(params, state, tg: TorchCondGenerator) -> None:
+    tg.embed.weight.copy_(_t(np.asarray(params["embed"]["table"])))
+    transplant_g(params["g"], state.get("g", {}), tg.g)
+
+
+@torch.no_grad()
+def transplant_cond_d(params, state, td: TorchCondDiscriminator) -> None:
+    td.embed.weight.copy_(_t(np.asarray(params["embed"]["table"])))
+    td.proj.weight.copy_(_t(np.asarray(params["proj"]["w"]).T))
+    td.proj.bias.copy_(_t(np.asarray(params["proj"]["b"])))
+    transplant_d(params["d"], state.get("d", {}), td.d)
 
 
 # ---------------------------------------------------------------------------
