@@ -137,3 +137,34 @@ def test_megakernel_matches_eval_apply_close(rng):
         got = np.asarray(pallas_gen.generator_forward(
             g, params, state, z, out_dtype=jnp.float32))
     np.testing.assert_allclose(got, ref, atol=5e-2)
+
+
+@pytest.mark.parametrize("preset,size", [("dcgan_celeba64", 64),
+                                         ("dcgan_cifar10", 32)])
+def test_megakernel_v2_matches_eval_apply(rng, preset, size):
+    """Phase-separated megakernel (pallas_gen2) == eval apply, both sizes."""
+    from tpugan.ops import pallas_gen2
+
+    cfg = get_preset(preset).override({"model.ngf": 16, "model.ndf": 16})
+    g, _ = build_models(cfg.model, "bf16")
+    params, state = g.init(jax.random.PRNGKey(2))
+    z = jnp.asarray(rng.standard_normal((8, cfg.model.nz)).astype(np.float32))
+    _, state = g.apply(params, state, z, train=True)  # realistic BN stats
+
+    ref = np.asarray(g.apply(params, state, z, train=False)[0], np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pallas_gen2.generator_forward(
+            g, params, state, z, out_dtype=jnp.float32))
+    assert got.shape == (8, size, size, 3)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_megakernel_v2_unsupported_head_returns_none(rng):
+    """28px models have a 7x7 head -> v2 declines, caller falls back."""
+    from tpugan.ops import pallas_gen2
+
+    cfg = get_preset("dcgan_mnist").override({"model.ngf": 8, "model.ndf": 8})
+    g, _ = build_models(cfg.model, "fp32")
+    params, state = g.init(jax.random.PRNGKey(0))
+    z = jnp.zeros((2, cfg.model.nz), jnp.float32)
+    assert pallas_gen2.generator_forward(g, params, state, z) is None

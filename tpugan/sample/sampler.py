@@ -32,11 +32,16 @@ def build_sample_fn(cfg: Config, g: Module):
 
     if (cfg.train.kernels == "pallas" and not conditional
             and jax.default_backend() == "tpu"):
-        from tpugan.ops import pallas_gen
+        from tpugan.ops import pallas_gen, pallas_gen2
 
         def sample_pallas(params_g, state_g, z, y=None):
-            out = pallas_gen.generator_forward(g, params_g, state_g, z,
-                                               out_dtype=jnp.float32)
+            # prefer the phase-separated v2 megakernel; fall back to v1,
+            # then to the XLA path
+            out = pallas_gen2.generator_forward(g, params_g, state_g, z,
+                                                out_dtype=jnp.float32)
+            if out is None:
+                out = pallas_gen.generator_forward(g, params_g, state_g, z,
+                                                   out_dtype=jnp.float32)
             if out is not None:
                 return out
             img, _ = jax.jit(
