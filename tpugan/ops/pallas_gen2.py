@@ -63,6 +63,9 @@ def _shift_phase(xp, c, axis_phase, axis_base):
     if c == 0:
         return win(0)
     P = xp.shape[axis_phase]
+    if P == 1:
+        # single phase: o+c always wraps entirely into the +-1 base window
+        return win(c)
 
     def take_phase(x, sl):
         idx = [slice(None)] * x.ndim
@@ -106,16 +109,18 @@ def _convt_block_phase(x, w, a, b, act: str):
                 xh = _shift_phase(xp, ch, axis_phase=0, axis_base=3)
                 for kw, cw in _TAPS[dw]:
                     xs = _shift_phase(xh, cw, axis_phase=1, axis_base=4)
+                    # bf16 only on the rank-2 matmul operand: high-rank bf16
+                    # relayouts crash Mosaic (see probe findings); rank-2
+                    # casts are safe and the MXU still runs bf16 x bf16.
                     acc = acc + jnp.dot(
-                        xs.reshape(m, cin), w[kh, kw],
+                        xs.reshape(m, cin).astype(jnp.bfloat16), w[kh, kw],
                         preferred_element_type=jnp.float32)
             y = acc * a.reshape(1, cout) + b.reshape(1, cout)
             if act == "relu":
                 y = jax.nn.relu(y)
             elif act == "tanh":
                 y = jnp.tanh(y)
-            cols.append(
-                y.reshape(ph, pw, bt, BASE, BASE, cout).astype(jnp.bfloat16))
+            cols.append(y.reshape(ph, pw, bt, BASE, BASE, cout))
         # phase interleave = leading-axis stack+reshape (no lane relayout):
         # out phase 2*ow+dw along axis 1
         rows.append(jnp.stack(cols, axis=2).reshape(
@@ -133,8 +138,8 @@ def _mega_kernel2(*refs, n_blocks, c0, out_dtype):
     bt = z.shape[0]
     h = jnp.dot(z, wh_ref[...], preferred_element_type=jnp.float32)
     h = h * ah_ref[...].reshape(1, -1) + bh_ref[...].reshape(1, -1)
-    x = jax.nn.relu(h).reshape(bt, BASE, BASE, c0).astype(jnp.bfloat16)
-    x = x[None, None]  # (1, 1, BT, 4, 4, c0)
+    # phases stay f32 end-to-end: high-rank bf16 values crash Mosaic
+    x = jax.nn.relu(h).reshape(1, 1, bt, BASE, BASE, c0)
 
     for i in range(n_blocks):
         w, a, b = blk[3 * i][...], blk[3 * i + 1][...], blk[3 * i + 2][...]
@@ -155,11 +160,12 @@ def _vmem_bytes2(bt, c0, blocks):
         wbytes += w.size * 2 + (a.size + b.size) * 4
         full_px = (p * BASE) ** 2
         padded_px = (p * p) * (BASE + 2) ** 2
-        live = (bt * full_px * c * 2            # x bf16
-                + bt * padded_px * c * 2        # halo-padded copy
+        live = (bt * full_px * c * 4            # x f32
+                + bt * padded_px * c * 4        # halo-padded copy f32
+                + bt * full_px * c * 2          # bf16 matmul operand
                 + bt * full_px * cout * 4       # one f32 phase accumulator
-                + 4 * bt * full_px * cout * 2   # out phases bf16
-                + 2 * bt * full_px * cout * 2)  # stack temps
+                + 4 * bt * full_px * cout * 4   # out phases f32
+                + 2 * bt * full_px * cout * 4)  # stack temps f32
         peak = max(peak, live)
         p, c = 2 * p, cout
     return wbytes + 2 * peak
@@ -194,8 +200,9 @@ def _call2(z, wh, ah, bh, flat_blocks, c0, out_dtype, bt):
         in_specs += [const_spec(w), const_spec(a.reshape(1, -1)),
                      const_spec(b.reshape(1, -1))]
 
+    # f32 out ref: rank-6 bf16 stores are in Mosaic's crash zone
     kernel = functools.partial(_mega_kernel2, n_blocks=n_blocks, c0=c0,
-                               out_dtype=out_dtype)
+                               out_dtype=jnp.float32)
     phased = pl.pallas_call(
         kernel,
         grid=grid,
@@ -203,14 +210,14 @@ def _call2(z, wh, ah, bh, flat_blocks, c0, out_dtype, bt):
         out_specs=pl.BlockSpec((P, P, bt, BASE, BASE, cf),
                                lambda i: (0, 0, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, P, n, BASE, BASE, cf), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((P, P, n, BASE, BASE, cf),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*args)
-    # single depth-to-space, in XLA: (oh, ow, N, bh, bw, C) ->
-    # image[n, bh*P + oh, bw*P + ow, c]  — wait: h = b*2^l + o, so spatial
-    # position is (b, o) major/minor: (N, bh, oh, bw, ow, C)
+    # single depth-to-space, in XLA. Full-res coord h = b*2^l + o, so
+    # spatial position is (base, phase) major/minor: (N, bh, oh, bw, ow, C)
     img = phased.transpose(2, 3, 0, 4, 1, 5)
-    return img.reshape(n, size, size, cf)
+    return img.reshape(n, size, size, cf).astype(out_dtype)
 
 
 def generator_forward(g, params, state, z, *, out_dtype=jnp.float32,
