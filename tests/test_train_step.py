@@ -164,3 +164,25 @@ def test_bf16_training_step(name):
     # params stay fp32 master copies
     for leaf in jax.tree.leaves(state.params_g):
         assert leaf.dtype == jnp.float32
+
+
+def test_ema_generator_weights():
+    """EMA params update only on G steps and lag the live params."""
+    cfg = tiny("dcgan_mnist", **{"train.ema": 0.5})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    assert state.params_g_ema is not None
+    p0 = jax.device_get(jax.tree.leaves(state.params_g)[0])
+    state, _ = step(state, synth_batch(cfg))
+    live = jax.device_get(jax.tree.leaves(state.params_g)[0])
+    ema = jax.device_get(jax.tree.leaves(state.params_g_ema)[0])
+    expect = 0.5 * p0 + 0.5 * live
+    np.testing.assert_allclose(ema, expect, rtol=1e-5, atol=1e-7)
+    # disabled -> None and step still runs
+    cfg2 = tiny("dcgan_mnist")
+    s2 = create_train_state(cfg2, g, d)
+    assert s2.params_g_ema is None
+    step2 = build_train_step(cfg2, g, d)
+    s2, m2 = step2(s2, synth_batch(cfg2))
+    assert np.isfinite(float(m2["loss_d"]))

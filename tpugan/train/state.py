@@ -35,6 +35,9 @@ class TrainState:
     opt_d: Any
     rng: jax.Array
     step: jax.Array  # int32 scalar
+    # EMA of G params (None when train.ema == 0). Sampling/eval prefer these
+    # when present — the standard GAN inference-quality trick.
+    params_g_ema: Any = None
 
 
 def make_optimizers(cfg: Config):
@@ -66,4 +69,6 @@ def create_train_state(cfg: Config, g: Module, d: Module,
         opt_d=tx_d.init(params_d),
         rng=k_run,
         step=jnp.zeros((), jnp.int32),
+        params_g_ema=(jax.tree.map(jnp.copy, params_g)
+                      if cfg.train.ema > 0 else None),
     )

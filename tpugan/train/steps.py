@@ -94,6 +94,7 @@ def build_train_step(cfg: Config, g: Module, d: Module
     clip = cfg.loss.clip_value if kind == "wgan" else None
 
     hflip = cfg.data.hflip
+    ema_decay = cfg.train.ema
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -140,31 +141,36 @@ def build_train_step(cfg: Config, g: Module, d: Module
                     if conditional else None)
 
         def do_g_with_loss(args):
-            params_g, opt_g, state_g, state_d = args
+            params_g, opt_g, state_g, state_d, ema = args
             (loss_g, (state_g, state_d)), grads_g = jax.value_and_grad(
                 g_loss, argnums=0, has_aux=True)(
                     params_g, state_g, params_d, state_d, z_g, y_fake_g)
             updates_g, opt_g = tx_g.update(grads_g, opt_g, params_g)
             params_g = jax.tree.map(jnp.add, params_g, updates_g)
-            return (params_g, opt_g, state_g, state_d), loss_g
+            if ema is not None:
+                ema = jax.tree.map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    ema, params_g)
+            return (params_g, opt_g, state_g, state_d, ema), loss_g
 
         def skip_g_with_loss(args):
             return args, jnp.zeros((), jnp.float32)
 
+        g_args = (state.params_g, state.opt_g, state_g, state_d,
+                  state.params_g_ema)
         if n_critic == 1:
-            (params_g, opt_g, state_g, state_d), loss_g = do_g_with_loss(
-                (state.params_g, state.opt_g, state_g, state_d))
+            (params_g, opt_g, state_g, state_d, ema), loss_g = (
+                do_g_with_loss(g_args))
         else:
             is_g_step = (state.step % n_critic) == (n_critic - 1)
-            (params_g, opt_g, state_g, state_d), loss_g = lax.cond(
-                is_g_step, do_g_with_loss, skip_g_with_loss,
-                (state.params_g, state.opt_g, state_g, state_d))
+            (params_g, opt_g, state_g, state_d, ema), loss_g = lax.cond(
+                is_g_step, do_g_with_loss, skip_g_with_loss, g_args)
 
         metrics = dict(metrics, loss_g=loss_g)
         new_state = TrainState(
             params_g=params_g, state_g=state_g, opt_g=opt_g,
             params_d=params_d, state_d=state_d, opt_d=opt_d,
-            rng=rng, step=state.step + 1,
+            rng=rng, step=state.step + 1, params_g_ema=ema,
         )
         return new_state, metrics
 

@@ -64,6 +64,12 @@ class Trainer:
                 n_classes=c.model.n_classes)
         return self._data
 
+    def _gen_params(self):
+        """Generator params for sampling/eval: EMA weights when enabled."""
+        if self.state.params_g_ema is not None:
+            return self.state.params_g_ema
+        return self.state.params_g
+
     # -- checkpoints --------------------------------------------------------
     def save_checkpoint(self, ckpt: CheckpointManager) -> None:
         ckpt.save(int(self.state.step), self.state, self.cfg.to_json())
@@ -128,7 +134,7 @@ class Trainer:
             if cfg.train.sample_every and (
                     step_no % cfg.train.sample_every == 0
                     or step_no == total_steps):
-                sampler.update(self.state.params_g, self.state.state_g)
+                sampler.update(self._gen_params(), self.state.state_g)
                 imgs = sampler.sample_fixed(fixed_z, fixed_y)
                 grid = make_grid(to_uint8(imgs), nrow=8)
                 save_png(os.path.join(out_dir, f"samples_{step_no:07d}.png"),
@@ -138,7 +144,7 @@ class Trainer:
             if cfg.train.eval_every and step_no % cfg.train.eval_every == 0:
                 from tpugan.eval import evaluate
 
-                scores = evaluate(cfg, self.g, self.state.params_g,
+                scores = evaluate(cfg, self.g, self._gen_params(),
                                   self.state.state_g, seed=cfg.train.seed,
                                   real_images=data["images"][:cfg.eval.fid_n])
                 logger.log(step_no,
@@ -157,5 +163,5 @@ class Trainer:
 
     # -- public sampler handle ---------------------------------------------
     def sampler(self) -> Sampler:
-        return Sampler(self.cfg, self.g, self.state.params_g,
+        return Sampler(self.cfg, self.g, self._gen_params(),
                        self.state.state_g)
