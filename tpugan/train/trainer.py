@@ -112,9 +112,18 @@ class Trainer:
         imgs_since = 0
         pending = None  # metrics pytree still on device
 
+        profiling = False
         it = iter(pipeline)
         start_step = int(self.state.step)
         for i in range(start_step, total_steps):
+            # optional profiler window (skip step 1: compile)
+            if cfg.train.profile_steps:
+                if i == start_step + 1 and not profiling:
+                    jax.profiler.start_trace(os.path.join(out_dir, "prof"))
+                    profiling = True
+                elif profiling and i == start_step + 1 + cfg.train.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
             batch = next(it)
             self.state, metrics = self.step_fn(self.state, batch)
             imgs_since += cfg.data.batch_size
@@ -156,6 +165,8 @@ class Trainer:
             if cfg.train.ckpt_every and step_no % cfg.train.ckpt_every == 0:
                 self.save_checkpoint(ckpt)
 
+        if profiling:
+            jax.profiler.stop_trace()
         self.save_checkpoint(ckpt)
         ckpt.close()
         logger.close()
