@@ -1,0 +1,59 @@
+"""CLI surface tests (in-process: subprocesses would re-dial the TPU relay)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpugan import cli
+
+
+def run_cli(capsys, *argv):
+    cli.main(list(argv))
+    return capsys.readouterr().out
+
+
+def test_presets_lists_all(capsys):
+    out = run_cli(capsys, "presets")
+    for name in ("dcgan_mnist", "wgan_gp_cifar10", "sngan_cifar10",
+                 "cdcgan_celeba128", "wgan_cifar10"):
+        assert name in out
+
+
+def test_train_sample_eval_roundtrip(tmp_path, capsys):
+    out_dir = str(tmp_path / "run")
+    run_cli(capsys, "train", "dcgan_mnist",
+            "--set", "data.dataset=synthetic",
+            "--set", "data.batch_size=8",
+            "--set", "data.synthetic_size=32",
+            "--set", "model.ngf=8", "--set", "model.ndf=8",
+            "--set", "model.nz=8",
+            "--set", "train.total_steps=3",
+            "--set", "train.log_every=3",
+            "--set", "train.sample_every=0",
+            "--set", "train.ckpt_every=3",
+            "--set", "train.precision=fp32",
+            "--out", out_dir)
+    ckpt = os.path.join(out_dir, "ckpt")
+    assert os.path.exists(os.path.join(ckpt, "config.json"))
+
+    grid = str(tmp_path / "g.png")
+    out = run_cli(capsys, "sample", "--ckpt", ckpt, "--n", "4",
+                  "--seed", "5", "--out", grid)
+    assert "wrote" in out and os.path.exists(grid)
+
+    out = run_cli(capsys, "eval", "--ckpt", ckpt, "--fid-n", "16")
+    result = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(result["fid"]) and result["backend"] == "proxy"
+
+
+def test_bad_override_is_actionable(tmp_path):
+    with pytest.raises(KeyError, match="model.nfg"):
+        cli.main(["train", "dcgan_mnist", "--set", "model.nfg=8",
+                  "--out", str(tmp_path)])
+
+
+def test_sample_without_config_errors(tmp_path):
+    with pytest.raises(SystemExit, match="config.json"):
+        cli.main(["sample", "--ckpt", str(tmp_path), "--out", "x.png"])

@@ -1,0 +1,48 @@
+"""Multi-host (multi-slice) initialization — the DCN story.
+
+Single-host multi-chip needs nothing beyond ``jax.devices()`` (mesh.py /
+fsdp.py).  Scaling across hosts only changes process bootstrap: every host
+calls :func:`initialize_multihost`, after which ``jax.devices()`` globally
+enumerates all chips and the SAME mesh/sharding code runs unchanged — XLA
+routes in-slice collectives over ICI and cross-slice traffic over DCN.
+
+This box has one chip, so the function is exercised only in its no-op
+single-process form; the multi-process path follows the standard
+``jax.distributed`` contract (coordinator address + process count via args
+or TPU metadata autodetection).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Initialize cross-host JAX; returns this process's index.
+
+    With no arguments on a single process this is a no-op returning 0
+    (keeps one code path for scripts that may run either way).  On TPU pods
+    with no explicit args, ``jax.distributed.initialize()`` autodetects the
+    topology from the TPU metadata service.
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The host-local slice of a globally-sharded batch (data loading:
+    each host feeds only its own shard of the global batch)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch // n
+    return slice(i * per, (i + 1) * per)
