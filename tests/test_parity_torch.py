@@ -172,3 +172,98 @@ def test_conditional_forward_matches_torch_twin(rng):
                       torch.from_numpy(y))
     np.testing.assert_allclose(np.asarray(ours_d), theirs_d.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_lsgan_trajectory_matches_torch(rng):
+    """LSGAN loss trajectories track torch (MSE-to-labels objective)."""
+    cfg = _cfg().override({"loss.kind": "lsgan"})
+    nz, bsz = cfg.model.nz, cfg.data.batch_size
+    g, d = build_models(cfg.model, "fp32")
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+
+    tg = TorchGenerator(32, 3, nz, cfg.model.ngf).train()
+    td = TorchDiscriminator(32, 3, cfg.model.ndf).train()
+    transplant_g(jax.device_get(state.params_g),
+                 jax.device_get(state.state_g), tg)
+    transplant_d(jax.device_get(state.params_d),
+                 jax.device_get(state.state_d), td)
+    opt_g = torch.optim.Adam(tg.parameters(), lr=cfg.optim.lr_g,
+                             betas=(cfg.optim.beta1, cfg.optim.beta2))
+    opt_d = torch.optim.Adam(td.parameters(), lr=cfg.optim.lr_d,
+                             betas=(cfg.optim.beta1, cfg.optim.beta2))
+
+    ours, ref = [], []
+    for i in range(4):
+        x = rng.standard_normal((bsz, 32, 32, 3)).astype(np.float32) * 0.5
+        z_d = rng.standard_normal((bsz, nz)).astype(np.float32)
+        z_g = rng.standard_normal((bsz, nz)).astype(np.float32)
+        state, m = step(state, {"image": jnp.asarray(x),
+                                "z_d": jnp.asarray(z_d),
+                                "z_g": jnp.asarray(z_g)})
+        ours.append((float(m["loss_d"]), float(m["loss_g"])))
+
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        opt_d.zero_grad()
+        fake = tg(torch.from_numpy(z_d))
+        out_r, out_f = td(tx), td(fake.detach())
+        # LSGAN: 1/2 E[(D(x)-1)^2] + 1/2 E[D(G(z))^2]
+        err_d = 0.5 * (((out_r - 1) ** 2).mean() + (out_f ** 2).mean())
+        err_d.backward(); opt_d.step()
+        opt_g.zero_grad()
+        out_g = td(tg(torch.from_numpy(z_g)))
+        err_g = 0.5 * ((out_g - 1) ** 2).mean()
+        err_g.backward(); opt_g.step()
+        ref.append((err_d.item(), err_g.item()))
+
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_wgan_clip_trajectory_matches_torch(rng):
+    """Original WGAN (RMSprop + weight clipping), n_critic=1 for the test."""
+    cfg = _cfg(bn_d=True).override({
+        "loss.kind": "wgan", "loss.n_critic": 1, "loss.clip_value": 0.05,
+        "optim.optimizer": "rmsprop", "optim.lr_g": 5e-5, "optim.lr_d": 5e-5})
+    nz, bsz = cfg.model.nz, cfg.data.batch_size
+    g, d = build_models(cfg.model, "fp32")
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+
+    tg = TorchGenerator(32, 3, nz, cfg.model.ngf).train()
+    td = TorchDiscriminator(32, 3, cfg.model.ndf).train()
+    transplant_g(jax.device_get(state.params_g),
+                 jax.device_get(state.state_g), tg)
+    transplant_d(jax.device_get(state.params_d),
+                 jax.device_get(state.state_d), td)
+    # torch RMSprop(eps=1e-8 default... optax rmsprop eps=1e-8, alpha 0.9?
+    # optax.rmsprop(decay=0.9, eps=1e-8); torch RMSprop(alpha=0.99) differs —
+    # align torch to optax's decay for the comparison.
+    opt_g = torch.optim.RMSprop(tg.parameters(), lr=5e-5, alpha=0.9)
+    opt_d = torch.optim.RMSprop(td.parameters(), lr=5e-5, alpha=0.9)
+
+    ours, ref = [], []
+    for i in range(4):
+        x = rng.standard_normal((bsz, 32, 32, 3)).astype(np.float32) * 0.5
+        z_d = rng.standard_normal((bsz, nz)).astype(np.float32)
+        z_g = rng.standard_normal((bsz, nz)).astype(np.float32)
+        state, m = step(state, {"image": jnp.asarray(x),
+                                "z_d": jnp.asarray(z_d),
+                                "z_g": jnp.asarray(z_g)})
+        ours.append(float(m["loss_d"]))
+
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        opt_d.zero_grad()
+        fake = tg(torch.from_numpy(z_d))
+        err_d = td(fake.detach()).mean() - td(tx).mean()
+        err_d.backward(); opt_d.step()
+        with torch.no_grad():
+            for p in td.parameters():
+                p.clamp_(-0.05, 0.05)
+        opt_g.zero_grad()
+        err_g = -td(tg(torch.from_numpy(z_g))).mean()
+        err_g.backward(); opt_g.step()
+        ref.append(err_d.item())
+
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=5e-2, atol=5e-3)

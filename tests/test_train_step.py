@@ -186,3 +186,23 @@ def test_ema_generator_weights():
     step2 = build_train_step(cfg2, g, d)
     s2, m2 = step2(s2, synth_batch(cfg2))
     assert np.isfinite(float(m2["loss_d"]))
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint'd forwards: identical numerics, same state updates."""
+    cfg = tiny("dcgan_cifar10")
+    g, d = build_models(cfg.model, cfg.train.precision)
+    b = synth_batch(cfg)
+
+    s1 = create_train_state(cfg, g, d)
+    s1, m1 = build_train_step(cfg, g, d)(s1, b)
+
+    cfg_r = tiny("dcgan_cifar10", **{"train.remat": True})
+    s2 = create_train_state(cfg_r, g, d)
+    s2, m2 = build_train_step(cfg_r, g, d)(s2, b)
+
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m2["loss_d"]),
+                               rtol=1e-6)
+    for a, c in zip(jax.tree.leaves(jax.device_get(s1.params_g)),
+                    jax.tree.leaves(jax.device_get(s2.params_g))):
+        np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-7)

@@ -93,6 +93,7 @@ class TrainConfig:
     precision: str = "bf16"  # bf16 (params fp32, compute bf16) | fp32
     ema: float = 0.0  # EMA decay for generator weights (0 = off; e.g. 0.999)
     profile_steps: int = 0  # capture an XLA profiler trace of steps 2..2+N
+    remat: bool = False  # jax.checkpoint G/D forwards (trade FLOPs for HBM)
     kernels: str = "xla"  # xla | pallas — fused conv kernel backend
     donate: bool = True  # donate train-state buffers into the jitted step
     mesh_shape: Optional[int] = None  # data-parallel devices (None = all)

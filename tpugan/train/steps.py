@@ -47,13 +47,26 @@ def build_train_step(cfg: Config, g: Module, d: Module
     n_classes = cfg.model.n_classes
     tx_g, tx_d = make_optimizers(cfg)
 
+    # Optional rematerialization: recompute forward activations during the
+    # backward pass instead of keeping them in HBM — the standard lever for
+    # fitting larger batches/models (e.g. 128px) on one chip.
+    def _maybe_remat(f):
+        return jax.checkpoint(f) if cfg.train.remat else f
+
+    _g_apply = _maybe_remat(
+        lambda p, s, zin: g.apply(p, s, zin, train=True))
+    _d_apply_train = _maybe_remat(
+        lambda p, s, xin: d.apply(p, s, xin, train=True))
+
     def g_forward(params_g, state_g, z, y):
         zin = (z, y) if conditional else z
-        return g.apply(params_g, state_g, zin, train=True)
+        return _g_apply(params_g, state_g, zin)
 
     def d_forward(params_d, state_d, x, y, train=True):
         xin = (x, y) if conditional else x
-        return d.apply(params_d, state_d, xin, train=train)
+        if train:
+            return _d_apply_train(params_d, state_d, xin)
+        return d.apply(params_d, state_d, xin, train=False)
 
     # ---- D loss -----------------------------------------------------------
     def d_loss(params_d, state_d, params_g, state_g, x_real, y_real, z,
