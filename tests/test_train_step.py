@@ -206,3 +206,23 @@ def test_remat_step_matches_plain():
     for a, c in zip(jax.tree.leaves(jax.device_get(s1.params_g)),
                     jax.tree.leaves(jax.device_get(s2.params_g))):
         np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-7)
+
+
+def test_device_resident_data_step():
+    """On-device batch gather: finite step, deterministic given rng."""
+    cfg = tiny("dcgan_cifar10", **{"data.device_resident": True})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    step = build_train_step(cfg, g, d)
+    rng = np.random.default_rng(0)
+    dataset = {"dataset_images": jnp.asarray(rng.integers(
+        0, 256, size=(64, 32, 32, 3)).astype(np.uint8))}
+
+    s1 = create_train_state(cfg, g, d)
+    s2 = jax.tree.map(jnp.copy, s1)
+    s1, m1 = step(s1, dataset)
+    s2, m2 = step(s2, dataset)
+    assert np.isfinite(float(m1["loss_d"]))
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m2["loss_d"]))
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params_d)),
+                    jax.tree.leaves(jax.device_get(s2.params_d))):
+        np.testing.assert_array_equal(a, b)

@@ -109,13 +109,25 @@ def build_train_step(cfg: Config, g: Module, d: Module
     hflip = cfg.data.hflip
     ema_decay = cfg.train.ema
 
+    bsz_cfg = cfg.data.batch_size
+
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        x_real = batch["image"]
-        y_real = batch.get("label")
+        rng, k_zd, k_zg, k_gp, k_yd, k_yg, k_flip, k_data = jax.random.split(
+            state.rng, 8)
+
+        if "dataset_images" in batch:
+            # Device-resident mode: the full dataset lives in HBM; gather
+            # this step's batch on-device — zero host->device traffic.
+            n_data = batch["dataset_images"].shape[0]
+            idx = jax.random.randint(k_data, (bsz_cfg,), 0, n_data)
+            x_real = jnp.take(batch["dataset_images"], idx, axis=0)
+            y_real = (jnp.take(batch["dataset_labels"], idx, axis=0)
+                      if "dataset_labels" in batch else None)
+        else:
+            x_real = batch["image"]
+            y_real = batch.get("label")
         bsz = x_real.shape[0]
-        rng, k_zd, k_zg, k_gp, k_yd, k_yg, k_flip = jax.random.split(
-            state.rng, 7)
 
         # Device-side decode tail: batches arrive as uint8 (4x less
         # host->device bandwidth than the reference's host-normalized
@@ -188,5 +200,20 @@ def build_train_step(cfg: Config, g: Module, d: Module
         return new_state, metrics
 
     donate = (0,) if cfg.train.donate else ()
-    return jax.jit(step, donate_argnums=donate)
+    k = cfg.train.steps_per_call
+    if k <= 1:
+        return jax.jit(step, donate_argnums=donate)
+
+    # Multi-step dispatch: K alternating D/G iterations compile into one
+    # scan — one host dispatch per K steps. Requires a step-invariant batch
+    # argument, i.e. device-resident data (the dataset, not a minibatch).
+    def multi_step(state: TrainState, batch):
+        def body(s, _):
+            return step(s, batch)
+
+        state, ms = jax.lax.scan(body, state, None, length=k)
+        metrics = {name: vals[-1] for name, vals in ms.items()}
+        return state, metrics
+
+    return jax.jit(multi_step, donate_argnums=donate)
 

@@ -97,10 +97,18 @@ class Trainer:
             print(f"resumed from step {start}")
 
         data = self._dataset()
-        pipeline = make_input_pipeline(
-            data, cfg.data.batch_size, seed=cfg.train.seed,
-            with_labels=cfg.model.arch == "cdcgan",
-            sharding=self.batch_sharding)
+        if cfg.data.device_resident:
+            import itertools
+
+            dev_batch = {"dataset_images": jax.device_put(data["images"])}
+            if cfg.model.arch == "cdcgan":
+                dev_batch["dataset_labels"] = jax.device_put(data["labels"])
+            pipeline = itertools.repeat(dev_batch)
+        else:
+            pipeline = make_input_pipeline(
+                data, cfg.data.batch_size, seed=cfg.train.seed,
+                with_labels=cfg.model.arch == "cdcgan",
+                sharding=self.batch_sharding)
 
         sampler = Sampler(cfg, self.g, self.state.params_g,
                           self.state.state_g)
@@ -115,22 +123,27 @@ class Trainer:
         profiling = False
         it = iter(pipeline)
         start_step = int(self.state.step)
-        for i in range(start_step, total_steps):
+        # steps advanced per dispatch (scan-fused when device-resident)
+        k = (cfg.train.steps_per_call
+             if cfg.data.device_resident and cfg.train.steps_per_call > 1
+             else 1)
+        for i in range(start_step, total_steps, k):
             # optional profiler window (skip step 1: compile)
             if cfg.train.profile_steps:
-                if i == start_step + 1 and not profiling:
+                if i == start_step + k and not profiling:
                     jax.profiler.start_trace(os.path.join(out_dir, "prof"))
                     profiling = True
-                elif profiling and i == start_step + 1 + cfg.train.profile_steps:
+                elif profiling and i >= start_step + k * (
+                        1 + cfg.train.profile_steps):
                     jax.profiler.stop_trace()
                     profiling = False
             batch = next(it)
             self.state, metrics = self.step_fn(self.state, batch)
-            imgs_since += cfg.data.batch_size
+            imgs_since += cfg.data.batch_size * k
             pending = metrics
 
-            step_no = i + 1
-            if step_no % cfg.train.log_every == 0 or step_no == total_steps:
+            step_no = i + k
+            if step_no % cfg.train.log_every < k or step_no >= total_steps:
                 host = {k: float(v) for k, v in
                         jax.device_get(pending).items()}
                 dt = time.perf_counter() - t0
@@ -141,8 +154,8 @@ class Trainer:
                 imgs_since = 0
 
             if cfg.train.sample_every and (
-                    step_no % cfg.train.sample_every == 0
-                    or step_no == total_steps):
+                    step_no % cfg.train.sample_every < k
+                    or step_no >= total_steps):
                 sampler.update(self._gen_params(), self.state.state_g)
                 imgs = sampler.sample_fixed(fixed_z, fixed_y)
                 grid = make_grid(to_uint8(imgs), nrow=8)
@@ -150,7 +163,7 @@ class Trainer:
                          grid)
                 logger.log_image(step_no, "samples", grid)
 
-            if cfg.train.eval_every and step_no % cfg.train.eval_every == 0:
+            if cfg.train.eval_every and step_no % cfg.train.eval_every < k:
                 from tpugan.eval import evaluate
 
                 scores = evaluate(cfg, self.g, self._gen_params(),
@@ -162,7 +175,7 @@ class Trainer:
                 t0 = time.perf_counter()  # don't count eval in images/sec
                 imgs_since = 0
 
-            if cfg.train.ckpt_every and step_no % cfg.train.ckpt_every == 0:
+            if cfg.train.ckpt_every and step_no % cfg.train.ckpt_every < k:
                 self.save_checkpoint(ckpt)
 
         if profiling:
