@@ -13,7 +13,6 @@ run config is saved alongside as JSON so a checkpoint is self-describing.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Optional
 

@@ -21,7 +21,6 @@ import argparse
 import dataclasses
 import json
 import os
-import sys
 
 
 def _parse_sets(pairs):

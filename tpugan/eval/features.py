@@ -20,8 +20,6 @@ Features are extracted on-device in batches via one jitted function.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,14 +10,13 @@ TPU-first decisions:
   lower ``ConvTranspose(k, s, p)`` (reference `ConvTranspose2d` semantics,
   out = (in-1)*s - 2p + k) to ``conv_general_dilated`` with
   ``lhs_dilation=s`` and padding ``k-1-p``, with the kernel spatially flipped.
-- **bf16 compute, fp32 accumulation and statistics.** Params live in fp32;
-  layers cast to the compute dtype and ask the MXU for fp32 accumulation via
-  ``preferred_element_type``. BatchNorm statistics are always fp32.
+- **bf16 compute, fp32 statistics.** Params live in fp32; layers cast to the
+  compute dtype. The MXU accumulates bf16 contractions in fp32 internally
+  (convs emit their natural dtype — see ops/convs.py for why forcing an f32
+  output dtype breaks the conv VJP). BatchNorm statistics are always fp32.
 """
 
 from __future__ import annotations
-
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,9 +24,6 @@ from jax import lax
 
 from tpugan import ops
 from tpugan.nn.core import Module
-
-# Conv dimension numbers: activations NHWC, weights HWIO.
-DIMS = ("NHWC", "HWIO", "NHWC")
 
 # Reference init idiom: conv/dense weights ~ N(0, 0.02); BN scale ~ N(1, 0.02).
 INIT_STD = 0.02

@@ -19,7 +19,6 @@ outputs interleave — zero wasted FLOPs.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from jax import lax
 
 DIMS = ("NHWC", "HWIO", "NHWC")

@@ -21,8 +21,6 @@ needs batch statistics and autodiff).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -19,8 +19,6 @@ these placements (tests/test_parallel.py asserts numerical equivalence).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -21,8 +21,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from tpugan.ckpt import CheckpointManager
 from tpugan.configs import Config
