@@ -78,3 +78,17 @@ def test_missing_real_dataset_raises(tmp_path):
     except FileNotFoundError:
         raised = True
     assert raised
+
+
+def test_latent_interpolation():
+    cfg = tiny()
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    s = Sampler(cfg, g, state.params_g, state.state_g)
+    seq = s.interpolate(1, 2, steps=5)
+    assert seq.shape == (5, 28, 28, 1)
+    # endpoints equal direct generation from those latents
+    a = s.sample(1, seed=1)
+    np.testing.assert_allclose(seq[0], a[0], atol=1e-5)
+    # path is not constant
+    assert not np.allclose(seq[0], seq[-1])

@@ -128,3 +128,17 @@ class Sampler:
         grid = make_grid(to_uint8(imgs), nrow=nrow)
         save_png(path, grid)
         return grid
+
+    def interpolate(self, seed_a: int, seed_b: int, steps: int = 8,
+                    label=None) -> np.ndarray:
+        """Latent-space interpolation: images along the line between the
+        first noise vector of seed_a and of seed_b (linear interpolation,
+        the classic DCGAN visualization)."""
+        za = self.noise(1, seed_a)[0]
+        zb = self.noise(1, seed_b)[0]
+        t = jnp.linspace(0.0, 1.0, steps)[:, None]
+        z = za[None] * (1 - t) + zb[None] * t
+        if self.conditional:
+            y = jnp.full((steps,), int(label or 0), jnp.int32)
+            return np.asarray(self._fn(self.params_g, self.state_g, z, y))
+        return np.asarray(self._fn(self.params_g, self.state_g, z))
