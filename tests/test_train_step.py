@@ -226,3 +226,49 @@ def test_device_resident_data_step():
     for a, b in zip(jax.tree.leaves(jax.device_get(s1.params_d)),
                     jax.tree.leaves(jax.device_get(s2.params_d))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_multi_step_scan_with_stacked_batches():
+    """K stacked host minibatches scanned per dispatch == K single steps."""
+    cfg1 = tiny("dcgan_mnist")
+    g, d = build_models(cfg1.model, cfg1.train.precision)
+    step1 = build_train_step(cfg1, g, d)
+    cfgk = tiny("dcgan_mnist", **{"train.steps_per_call": 3})
+    stepk = build_train_step(cfgk, g, d)
+
+    batches = [synth_batch(cfg1, seed=i) for i in range(3)]
+    s1 = create_train_state(cfg1, g, d)
+    for b in batches:
+        s1, m1 = step1(s1, b)
+
+    sk = create_train_state(cfgk, g, d)
+    stacked = {key: jnp.stack([b[key] for b in batches])
+               for key in batches[0]}
+    sk, mk = stepk(sk, stacked)
+
+    assert int(sk.step) == 3
+    np.testing.assert_allclose(float(m1["loss_d"]), float(mk["loss_d"]),
+                               rtol=1e-6)
+    # scan and eager loops compile differently; equality is numerical,
+    # not bitwise
+    for a, c in zip(jax.tree.leaves(jax.device_get(s1.params_g)),
+                    jax.tree.leaves(jax.device_get(sk.params_g))):
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-6)
+
+
+def test_label_smoothing_wired():
+    """real_label config actually changes the loss."""
+    from tpugan.losses import d_loss_fn
+    r = jnp.asarray([2.0, -1.0])
+    f = jnp.asarray([0.5, 0.3])
+    hard = float(d_loss_fn("bce", r, f))
+    soft = float(d_loss_fn("bce", r, f, real_label=0.9))
+    assert hard != soft
+    # closed form for the smoothed real term
+    import torch
+    import torch.nn.functional as F
+    tr = torch.tensor([2.0, -1.0])
+    tf = torch.tensor([0.5, 0.3])
+    expect = (F.binary_cross_entropy_with_logits(tr, torch.full_like(tr, 0.9))
+              + F.binary_cross_entropy_with_logits(tf, torch.zeros_like(tf)))
+    np.testing.assert_allclose(soft, float(expect), rtol=1e-5)

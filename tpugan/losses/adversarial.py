@@ -31,13 +31,28 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
-def d_loss_fn(kind: str, real_logits, fake_logits):
+def _bce_with_target(logits, target: float):
+    """BCE-with-logits against a soft target t:
+    t*softplus(-l) + (1-t)*softplus(l). Supports label smoothing
+    (e.g. real_label=0.9, the one-sided smoothing trick)."""
+    if target == 1.0:
+        return jnp.mean(jax.nn.softplus(-logits))
+    if target == 0.0:
+        return jnp.mean(jax.nn.softplus(logits))
+    return jnp.mean(target * jax.nn.softplus(-logits)
+                    + (1.0 - target) * jax.nn.softplus(logits))
+
+
+def d_loss_fn(kind: str, real_logits, fake_logits, *,
+              real_label: float = 1.0, fake_label: float = 0.0):
     """Discriminator/critic loss (to minimize)."""
     r, f = _f32(real_logits), _f32(fake_logits)
     if kind == "bce":
-        return jnp.mean(jax.nn.softplus(-r)) + jnp.mean(jax.nn.softplus(f))
+        return (_bce_with_target(r, real_label)
+                + _bce_with_target(f, fake_label))
     if kind == "lsgan":
-        return 0.5 * (jnp.mean(jnp.square(r - 1.0)) + jnp.mean(jnp.square(f)))
+        return 0.5 * (jnp.mean(jnp.square(r - real_label))
+                      + jnp.mean(jnp.square(f - fake_label)))
     if kind in ("wgan", "wgan_gp"):
         return jnp.mean(f) - jnp.mean(r)
     if kind == "hinge":
@@ -46,13 +61,13 @@ def d_loss_fn(kind: str, real_logits, fake_logits):
     raise ValueError(f"unknown loss kind {kind!r}")
 
 
-def g_loss_fn(kind: str, fake_logits):
+def g_loss_fn(kind: str, fake_logits, *, real_label: float = 1.0):
     """Generator loss (to minimize)."""
     f = _f32(fake_logits)
     if kind == "bce":
-        return jnp.mean(jax.nn.softplus(-f))  # non-saturating
+        return _bce_with_target(f, real_label)  # non-saturating
     if kind == "lsgan":
-        return 0.5 * jnp.mean(jnp.square(f - 1.0))
+        return 0.5 * jnp.mean(jnp.square(f - real_label))
     if kind in ("wgan", "wgan_gp", "hinge"):
         return -jnp.mean(f)
     raise ValueError(f"unknown loss kind {kind!r}")

@@ -75,7 +75,9 @@ def build_train_step(cfg: Config, g: Module, d: Module
         fake = lax.stop_gradient(fake)  # reference: fake.detach() in D step
         real_logits, state_d = d_forward(params_d, state_d, x_real, y_real)
         fake_logits, state_d = d_forward(params_d, state_d, fake, y_fake)
-        loss = d_loss_fn(kind, real_logits, fake_logits)
+        loss = d_loss_fn(kind, real_logits, fake_logits,
+                         real_label=cfg.loss.real_label,
+                         fake_label=cfg.loss.fake_label)
         gp = jnp.zeros((), jnp.float32)
         if kind == "wgan_gp":
             frozen = jax.tree.map(lax.stop_gradient, state_d)
@@ -99,7 +101,7 @@ def build_train_step(cfg: Config, g: Module, d: Module
     def g_loss(params_g, state_g, params_d, state_d, z, y_fake):
         fake, state_g = g_forward(params_g, state_g, z, y_fake)
         fake_logits, state_d = d_forward(params_d, state_d, fake, y_fake)
-        loss = g_loss_fn(kind, fake_logits)
+        loss = g_loss_fn(kind, fake_logits, real_label=cfg.loss.real_label)
         return loss, (state_g, state_d)
 
     d_grad = jax.grad(d_loss, argnums=0, has_aux=True)
@@ -205,13 +207,22 @@ def build_train_step(cfg: Config, g: Module, d: Module
         return jax.jit(step, donate_argnums=donate)
 
     # Multi-step dispatch: K alternating D/G iterations compile into one
-    # scan — one host dispatch per K steps. Requires a step-invariant batch
-    # argument, i.e. device-resident data (the dataset, not a minibatch).
+    # scan — one host dispatch per K steps. Two input forms:
+    #  - device-resident dataset (step-invariant batch): scan with a
+    #    constant carry-through batch;
+    #  - K host minibatches stacked on a leading axis (image: (K,B,H,W,C)):
+    #    scan consumes one per step (pipeline stack=K).
     def multi_step(state: TrainState, batch):
-        def body(s, _):
-            return step(s, batch)
+        if "dataset_images" in batch:
+            def body(s, _):
+                return step(s, batch)
 
-        state, ms = jax.lax.scan(body, state, None, length=k)
+            state, ms = jax.lax.scan(body, state, None, length=k)
+        else:
+            def body(s, b):
+                return step(s, b)
+
+            state, ms = jax.lax.scan(body, state, batch, length=k)
         metrics = {name: vals[-1] for name, vals in ms.items()}
         return state, metrics
 

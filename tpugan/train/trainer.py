@@ -95,6 +95,7 @@ class Trainer:
             print(f"resumed from step {start}")
 
         data = self._dataset()
+        k_steps = max(cfg.train.steps_per_call, 1)
         if cfg.data.device_resident:
             import itertools
 
@@ -103,10 +104,16 @@ class Trainer:
                 dev_batch["dataset_labels"] = jax.device_put(data["labels"])
             pipeline = itertools.repeat(dev_batch)
         else:
+            sharding = self.batch_sharding
+            if k_steps > 1 and self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # stacked batches: (K, batch, ...) — shard the batch axis
+                sharding = NamedSharding(self.mesh, P(None, "data"))
             pipeline = make_input_pipeline(
                 data, cfg.data.batch_size, seed=cfg.train.seed,
                 with_labels=cfg.model.arch == "cdcgan",
-                sharding=self.batch_sharding)
+                sharding=sharding, stack=k_steps)
 
         sampler = Sampler(cfg, self.g, self.state.params_g,
                           self.state.state_g)
@@ -121,10 +128,8 @@ class Trainer:
         profiling = False
         it = iter(pipeline)
         start_step = int(self.state.step)
-        # steps advanced per dispatch (scan-fused when device-resident)
-        k = (cfg.train.steps_per_call
-             if cfg.data.device_resident and cfg.train.steps_per_call > 1
-             else 1)
+        # steps advanced per dispatch (scan-fused)
+        k = k_steps
         for i in range(start_step, total_steps, k):
             # optional profiler window (skip step 1: compile)
             if cfg.train.profile_steps:
