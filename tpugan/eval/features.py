@@ -53,14 +53,32 @@ def make_extractor(channels: int, backend: str = "proxy",
                    weights_path: str = ""):
     """Return f(images_f32 in [-1,1], NHWC) -> (features, probs) on host."""
     if backend == "inception":
+        from tpugan.eval import inception
+
         if not weights_path:
             raise FileNotFoundError(
                 "InceptionV3 weights unavailable in this offline container; "
-                "set eval.inception_weights to a local weights file or use "
+                "set eval.inception_weights to a converted weight file "
+                "(see eval/inception.py convert_torch_state_dict) or use "
                 "the 'proxy' backend")
-        raise NotImplementedError(
-            "inception backend is weights-gated; provide a converted "
-            "weights pickle and extend features._load_inception")
+        params = inception.load_weights(weights_path)
+
+        @jax.jit
+        def extract_inc(x):
+            x = inception.resize_to_299(x.astype(jnp.float32))
+            feat, logits = inception.forward(params, x)
+            return feat, jax.nn.softmax(logits, axis=-1)
+
+        def run_inc(images: np.ndarray, batch: int = 64):
+            feats, probs = [], []
+            for s in range(0, len(images), batch):
+                f, p = extract_inc(jnp.asarray(images[s:s + batch],
+                                               jnp.float32))
+                feats.append(np.asarray(f))
+                probs.append(np.asarray(p))
+            return np.concatenate(feats), np.concatenate(probs)
+
+        return run_inc
     if backend != "proxy":
         raise ValueError(f"unknown eval feature backend {backend!r}")
 
