@@ -167,7 +167,7 @@ def main():
     log(f"torch-cpu reference @{args.image_size}: {torch_ips:.1f} images/s")
 
     best, best_batch, best_impl = 0.0, 0, ""
-    batches = (512, 1024) if args.image_size == 64 else (128, 256)
+    batches = (1024, 2048) if args.image_size == 64 else (128, 256)
     # pallas megakernel: measured 6.7x slower than XLA on v5e so far
     # (interleave relayouts dominate; see DESIGN.md) — benched only at the
     # largest batch to track progress without burning compile time.

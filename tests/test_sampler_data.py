@@ -92,3 +92,18 @@ def test_latent_interpolation():
     np.testing.assert_allclose(seq[0], a[0], atol=1e-5)
     # path is not constant
     assert not np.allclose(seq[0], seq[-1])
+
+
+def test_slerp_and_truncation():
+    cfg = tiny()
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    s = Sampler(cfg, g, state.params_g, state.state_g)
+    seq = s.interpolate(1, 2, steps=5, spherical=True)
+    assert seq.shape == (5, 28, 28, 1)
+    np.testing.assert_allclose(seq[0], s.sample(1, seed=1)[0], atol=1e-4)
+    tr = s.sample_truncated(6, seed=3, threshold=0.5)
+    assert tr.shape == (6, 28, 28, 1)
+    # determinism
+    np.testing.assert_array_equal(tr, s.sample_truncated(6, seed=3,
+                                                         threshold=0.5))

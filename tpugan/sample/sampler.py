@@ -130,15 +130,39 @@ class Sampler:
         return grid
 
     def interpolate(self, seed_a: int, seed_b: int, steps: int = 8,
-                    label=None) -> np.ndarray:
-        """Latent-space interpolation: images along the line between the
-        first noise vector of seed_a and of seed_b (linear interpolation,
-        the classic DCGAN visualization)."""
+                    label=None, spherical: bool = False) -> np.ndarray:
+        """Latent-space interpolation between the first noise vectors of two
+        seeds.  ``spherical=True`` uses slerp (interpolates along the great
+        circle — stays on the Gaussian typical-set shell, avoiding the
+        low-norm midpoints of linear interpolation)."""
         za = self.noise(1, seed_a)[0]
         zb = self.noise(1, seed_b)[0]
         t = jnp.linspace(0.0, 1.0, steps)[:, None]
-        z = za[None] * (1 - t) + zb[None] * t
+        if spherical:
+            na = za / jnp.linalg.norm(za)
+            nb = zb / jnp.linalg.norm(zb)
+            omega = jnp.arccos(jnp.clip(jnp.dot(na, nb), -1 + 1e-7,
+                                        1 - 1e-7))
+            so = jnp.sin(omega)
+            z = (jnp.sin((1 - t) * omega) / so * za[None]
+                 + jnp.sin(t * omega) / so * zb[None])
+        else:
+            z = za[None] * (1 - t) + zb[None] * t
         if self.conditional:
             y = jnp.full((steps,), int(label or 0), jnp.int32)
+            return np.asarray(self._fn(self.params_g, self.state_g, z, y))
+        return np.asarray(self._fn(self.params_g, self.state_g, z))
+
+    def sample_truncated(self, n: int, seed: int = 0, threshold: float = 1.0,
+                         labels=None) -> np.ndarray:
+        """Truncation-trick sampling: latent coordinates are redrawn from a
+        truncated normal (|z_i| <= threshold), trading diversity for sample
+        fidelity (lower threshold = safer, blander samples)."""
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x72C)
+        z = jax.random.truncated_normal(
+            key, -threshold, threshold, (n, self.nz), jnp.float32)
+        if self.conditional:
+            y = (jnp.asarray(labels) if labels is not None
+                 else self.labels(n, seed))
             return np.asarray(self._fn(self.params_g, self.state_g, z, y))
         return np.asarray(self._fn(self.params_g, self.state_g, z))
