@@ -1,0 +1,192 @@
+"""Dataset loading: MNIST / CIFAR-10 / CelebA, plus a deterministic synthetic
+fallback for offline environments.
+
+The reference feeds torchvision datasets through host-side decode / resize /
+center-crop / normalize transforms.  Here each loader produces a plain
+``dict(images=uint8 NHWC array, labels=int32 array | None)`` — decode and
+crop happen once at load (these datasets fit in host RAM at these sizes);
+per-batch normalization to [-1, 1] and augmentation happen in the pipeline.
+
+File formats read (no torchvision available or needed):
+- MNIST: the original idx gzip files (``train-images-idx3-ubyte.gz``).
+- CIFAR-10: the python-pickle batches (``cifar-10-batches-py/data_batch_*``).
+- CelebA: a directory of JPEG/PNG files (optionally ``list_attr_celeba.txt``
+  for attribute labels), center-cropped to 178 and resized.
+
+If the requested dataset's files are absent (this container has no network),
+loading raises ``FileNotFoundError`` — callers choose the ``synthetic``
+dataset explicitly for offline dev; it is deterministic in (name, size, seed)
+so tests and parity runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from typing import Dict, Optional
+
+import numpy as np
+
+DATASETS = ("mnist", "cifar10", "celeba", "synthetic")
+
+
+def load_dataset(name: str, data_dir: str, *, image_size: int,
+                 channels: int, synthetic_size: int = 10_000,
+                 seed: int = 0, n_classes: int = 0) -> Dict[str, np.ndarray]:
+    if name == "mnist":
+        return _load_mnist(data_dir)
+    if name == "cifar10":
+        return _load_cifar10(data_dir)
+    if name == "celeba":
+        return _load_celeba(data_dir, image_size)
+    if name == "synthetic":
+        return make_synthetic(image_size, channels, synthetic_size,
+                              seed=seed, n_classes=n_classes)
+    raise ValueError(f"unknown dataset {name!r}; available: {DATASETS}")
+
+
+# ---------------------------------------------------------------------------
+# MNIST (idx format)
+# ---------------------------------------------------------------------------
+
+def _open_maybe_gz(path: str):
+    return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+
+
+def _read_idx(path: str) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+
+def _find(data_dir: str, names) -> Optional[str]:
+    for root in (data_dir, os.path.join(data_dir, "MNIST", "raw"),
+                 os.path.join(data_dir, "mnist")):
+        for n in names:
+            p = os.path.join(root, n)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def _load_mnist(data_dir: str) -> Dict[str, np.ndarray]:
+    img_path = _find(data_dir, ["train-images-idx3-ubyte.gz",
+                                "train-images-idx3-ubyte"])
+    lbl_path = _find(data_dir, ["train-labels-idx1-ubyte.gz",
+                                "train-labels-idx1-ubyte"])
+    if img_path is None:
+        raise FileNotFoundError(
+            f"MNIST idx files not found under {data_dir!r}")
+    images = _read_idx(img_path)[..., None]  # (N, 28, 28, 1)
+    labels = (_read_idx(lbl_path).astype(np.int32)
+              if lbl_path else np.zeros(len(images), np.int32))
+    return {"images": images, "labels": labels}
+
+
+# ---------------------------------------------------------------------------
+# CIFAR-10 (python pickle batches)
+# ---------------------------------------------------------------------------
+
+def _load_cifar10(data_dir: str) -> Dict[str, np.ndarray]:
+    for root in (os.path.join(data_dir, "cifar-10-batches-py"), data_dir):
+        batch1 = os.path.join(root, "data_batch_1")
+        if os.path.exists(batch1):
+            xs, ys = [], []
+            for i in range(1, 6):
+                with open(os.path.join(root, f"data_batch_{i}"), "rb") as f:
+                    d = pickle.load(f, encoding="bytes")
+                xs.append(d[b"data"])
+                ys.extend(d[b"labels"])
+            x = np.concatenate(xs).reshape(-1, 3, 32, 32)
+            x = x.transpose(0, 2, 3, 1)  # NHWC
+            return {"images": np.ascontiguousarray(x),
+                    "labels": np.asarray(ys, np.int32)}
+    raise FileNotFoundError(f"CIFAR-10 batches not found under {data_dir!r}")
+
+
+# ---------------------------------------------------------------------------
+# CelebA (image folder)
+# ---------------------------------------------------------------------------
+
+def _load_celeba(data_dir: str, image_size: int) -> Dict[str, np.ndarray]:
+    from PIL import Image
+
+    for root in (os.path.join(data_dir, "celeba", "img_align_celeba"),
+                 os.path.join(data_dir, "img_align_celeba"), data_dir):
+        if os.path.isdir(root):
+            files = sorted(
+                f for f in os.listdir(root)
+                if f.lower().endswith((".jpg", ".jpeg", ".png")))
+            if files:
+                break
+    else:
+        files = []
+    if not files:
+        raise FileNotFoundError(f"CelebA images not found under {data_dir!r}")
+
+    imgs = np.empty((len(files), image_size, image_size, 3), np.uint8)
+    for i, fname in enumerate(files):
+        with Image.open(os.path.join(root, fname)) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            side = min(w, h)
+            left, top = (w - side) // 2, (h - side) // 2
+            im = im.crop((left, top, left + side, top + side))
+            im = im.resize((image_size, image_size), Image.BILINEAR)
+            imgs[i] = np.asarray(im)
+    labels = _load_celeba_attrs(data_dir, files)
+    return {"images": imgs, "labels": labels}
+
+
+def _load_celeba_attrs(data_dir: str, files) -> np.ndarray:
+    """Male/Female attribute as the 2-class conditioning label (0/1)."""
+    for cand in (os.path.join(data_dir, "celeba", "list_attr_celeba.txt"),
+                 os.path.join(data_dir, "list_attr_celeba.txt")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                f.readline()
+                header = f.readline().split()
+                col = header.index("Male")
+                attr = {}
+                for line in f:
+                    parts = line.split()
+                    attr[parts[0]] = 1 if parts[1 + col] == "1" else 0
+            return np.asarray([attr.get(f, 0) for f in files], np.int32)
+    return np.zeros(len(files), np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic (deterministic, offline dev/test)
+# ---------------------------------------------------------------------------
+
+def make_synthetic(image_size: int, channels: int, n: int, *, seed: int = 0,
+                   n_classes: int = 0) -> Dict[str, np.ndarray]:
+    """Procedural images: per-class colored gaussian blobs on gradients.
+
+    Statistically non-trivial (class-dependent structure, smooth textures)
+    so GAN losses behave sanely, and fully deterministic in its arguments.
+    """
+    rng = np.random.default_rng(seed)
+    k = max(n_classes, 1)
+    labels = rng.integers(0, k, size=n).astype(np.int32)
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+    yy, xx = yy / image_size, xx / image_size
+    imgs = np.empty((n, image_size, image_size, channels), np.uint8)
+    centers = rng.uniform(0.25, 0.75, size=(n, 2)).astype(np.float32)
+    widths = rng.uniform(0.05, 0.2, size=n).astype(np.float32)
+    for i in range(n):
+        cy, cx = centers[i]
+        blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                      / (2 * widths[i] ** 2))
+        base = 0.3 * xx + 0.2 * yy + 0.25
+        phase = 2 * np.pi * labels[i] / k
+        img = np.empty((image_size, image_size, channels), np.float32)
+        for c in range(channels):
+            gain = 0.5 + 0.5 * np.cos(phase + 2 * np.pi * c / max(channels, 1))
+            img[..., c] = base + gain * blob
+        imgs[i] = np.clip(img * 255, 0, 255).astype(np.uint8)
+    return {"images": imgs, "labels": labels}
