@@ -167,11 +167,13 @@ def main():
     log(f"torch-cpu reference @{args.image_size}: {torch_ips:.1f} images/s")
 
     best, best_batch, best_impl = 0.0, 0, ""
-    batches = (1024, 2048) if args.image_size == 64 else (128, 256)
-    # pallas megakernel: measured 6.7x slower than XLA on v5e so far
-    # (interleave relayouts dominate; see DESIGN.md) — benched only at the
-    # largest batch to track progress without burning compile time.
-    for impl, bs in (("xla", batches), ("pallas", batches[-1:])):
+    # 2048 measured slower than 1024 (604k vs 654k); keep the winning sweep.
+    batches = (512, 1024) if args.image_size == 64 else (128, 256)
+    # The Pallas megakernels are correctness-tested but measured slower than
+    # XLA and their compiles crash inside benchmark chains on this toolchain
+    # (DESIGN.md §4) — excluded from the headline sweep; measure them with
+    # benchmarks/ scripts instead.
+    for impl, bs in (("xla", batches),):
         for batch in bs:
             try:
                 ips = bench_tpugan(args.image_size, batch, args.steps,

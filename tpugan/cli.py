@@ -85,7 +85,9 @@ def cmd_sample(args):
     g, d = build_models(cfg.model, cfg.train.precision)
     template = create_train_state(cfg, g, d)
     state = TrainState(**CheckpointManager(args.ckpt).restore(dict(template)))
-    sampler = Sampler(cfg, g, state.params_g, state.state_g)
+    params = (state.params_g_ema if state.params_g_ema is not None
+              else state.params_g)  # EMA weights when the run tracked them
+    sampler = Sampler(cfg, g, params, state.state_g)
     imgs = sampler.sample(args.n, seed=args.seed,
                           batch_size=args.batch_size or args.n)
     grid = make_grid(to_uint8(imgs), nrow=args.nrow)
@@ -107,7 +109,9 @@ def cmd_eval(args):
     g, d = build_models(cfg.model, cfg.train.precision)
     template = create_train_state(cfg, g, d)
     state = TrainState(**CheckpointManager(args.ckpt).restore(dict(template)))
-    result = evaluate(cfg, g, state.params_g, state.state_g, seed=args.seed)
+    params = (state.params_g_ema if state.params_g_ema is not None
+              else state.params_g)
+    result = evaluate(cfg, g, params, state.state_g, seed=args.seed)
     print(json.dumps(result))
 
 

@@ -166,12 +166,22 @@ class Config:
 
 
 def _coerce(val: Any, like: Any) -> Any:
-    if isinstance(val, str) and like is not None and not isinstance(like, str):
-        t = type(like)
-        if t is bool:
-            return val.lower() in ("1", "true", "yes", "on")
-        return t(val)
-    return val
+    if not isinstance(val, str):
+        return val
+    if like is None:
+        # Optional fields (e.g. train.mesh_shape): infer numeric strings
+        for t in (int, float):
+            try:
+                return t(val)
+            except ValueError:
+                continue
+        return val
+    if isinstance(like, str):
+        return val
+    t = type(like)
+    if t is bool:
+        return val.lower() in ("1", "true", "yes", "on")
+    return t(val)
 
 
 # ---------------------------------------------------------------------------

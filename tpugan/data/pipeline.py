@@ -81,15 +81,23 @@ class make_input_pipeline:
         stop = threading.Event()
 
         def produce():
-            for batch in self._stacked_batches():
-                if stop.is_set():
-                    return
-                dev = {k: jax.device_put(v, self.sharding)
-                       for k, v in batch.items()}
+            try:
+                for batch in self._stacked_batches():
+                    if stop.is_set():
+                        return
+                    dev = {k: jax.device_put(v, self.sharding)
+                           for k, v in batch.items()}
+                    while not stop.is_set():
+                        try:
+                            q.put(dev, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # propagate, don't hang the consumer
                 while not stop.is_set():
                     try:
-                        q.put(dev, timeout=0.5)
-                        break
+                        q.put(e, timeout=0.5)
+                        return
                     except queue.Full:
                         continue
 
@@ -97,6 +105,10 @@ class make_input_pipeline:
         t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        "input pipeline producer failed") from item
+                yield item
         finally:
             stop.set()

@@ -49,9 +49,23 @@ def _proxy_params(channels: int):
     return params, head
 
 
+_EXTRACTOR_CACHE: dict = {}
+
+
 def make_extractor(channels: int, backend: str = "proxy",
                    weights_path: str = ""):
-    """Return f(images_f32 in [-1,1], NHWC) -> (features, probs) on host."""
+    """Return f(images_f32 in [-1,1], NHWC) -> (features, probs) on host.
+
+    Cached per (channels, backend, weights_path) so repeated eval calls
+    (e.g. every ``train.eval_every``) reuse the compiled feature network."""
+    key = (channels, backend, weights_path)
+    if key not in _EXTRACTOR_CACHE:
+        _EXTRACTOR_CACHE[key] = _make_extractor(channels, backend,
+                                                weights_path)
+    return _EXTRACTOR_CACHE[key]
+
+
+def _make_extractor(channels: int, backend: str, weights_path: str):
     if backend == "inception":
         from tpugan.eval import inception
 

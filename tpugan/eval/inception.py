@@ -16,8 +16,13 @@ and BN params as (scale, bias, mean, var).  A converter from a pytorch-fid
 ``state_dict`` is provided (``convert_torch_state_dict``) — run it anywhere
 torch weights are available, ship the pickle here.
 
-Implementation notes: BN uses eps=1e-3 (torchvision inception), no
-conv biases; pooling pads match torchvision (ceil_mode=False).
+Implementation notes: BN uses eps=1e-3 (torchvision inception), no conv
+biases.  Branch avg-pools divide by the count of VALID (non-pad) cells,
+i.e. ``count_include_pad=False`` — this matches the pytorch-fid **FID
+network** (its FIDInceptionA/C/E overrides), which is the checkpoint this
+module targets; stock torchvision InceptionV3 differs here
+(count_include_pad=True), so do not score against torchvision-trained
+weights without adjusting ``_avgpool``.
 """
 
 from __future__ import annotations

@@ -69,6 +69,8 @@ def shard_train_state_fsdp(state, mesh: Mesh):
         opt_d=shard_params_fsdp(state.opt_d, mesh),
         rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        params_g_ema=(shard_params_fsdp(state.params_g_ema, mesh)
+                      if state.params_g_ema is not None else None),
     )
 
 

@@ -9,6 +9,7 @@ spectral-norm u) under one jitted function.
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional
 
 import jax
@@ -19,8 +20,20 @@ from tpugan.configs import Config
 from tpugan.nn.core import Module
 from tpugan.utils.images import make_grid, save_png, to_uint8
 
+# One jitted sample fn per (generator, backend) — repeated Sampler
+# construction (e.g. every in-training eval point) must not recompile.
+_SAMPLE_FN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def build_sample_fn(cfg: Config, g: Module):
+    key = (cfg.train.kernels, cfg.model.arch)
+    per_g = _SAMPLE_FN_CACHE.setdefault(g, {})
+    if key not in per_g:
+        per_g[key] = _build_sample_fn(cfg, g)
+    return per_g[key]
+
+
+def _build_sample_fn(cfg: Config, g: Module):
     """Jitted eval-mode sampler: (params_g, state_g, z[, y]) -> images f32.
 
     With ``train.kernels == "pallas"`` the unconditional DCGAN generator runs
@@ -33,6 +46,11 @@ def build_sample_fn(cfg: Config, g: Module):
     if (cfg.train.kernels == "pallas" and not conditional
             and jax.default_backend() == "tpu"):
         from tpugan.ops import pallas_gen, pallas_gen2
+
+        @jax.jit
+        def xla_fallback(params_g, state_g, z):
+            img, _ = g.apply(params_g, state_g, z, train=False)
+            return img.astype(jnp.float32)
 
         def sample_pallas(params_g, state_g, z, y=None):
             # prefer the phase-separated v2 megakernel; fall back to v1,
@@ -47,10 +65,7 @@ def build_sample_fn(cfg: Config, g: Module):
                     out = None
                 if out is not None:
                     return out
-            img, _ = jax.jit(
-                lambda p, s, zz: g.apply(p, s, zz, train=False)[0]
-            )(params_g, state_g, z)
-            return img.astype(jnp.float32)
+            return xla_fallback(params_g, state_g, z)
 
         return sample_pallas
 

@@ -101,7 +101,10 @@ def build_train_step(cfg: Config, g: Module, d: Module
     def g_loss(params_g, state_g, params_d, state_d, z, y_fake):
         fake, state_g = g_forward(params_g, state_g, z, y_fake)
         fake_logits, state_d = d_forward(params_d, state_d, fake, y_fake)
-        loss = g_loss_fn(kind, fake_logits, real_label=cfg.loss.real_label)
+        # G's target stays 1.0 even under one-sided label smoothing —
+        # smoothing only D's real target; a smoothed G target would reverse
+        # G's gradient once D(G(z)) exceeds it.
+        loss = g_loss_fn(kind, fake_logits)
         return loss, (state_g, state_d)
 
     d_grad = jax.grad(d_loss, argnums=0, has_aux=True)

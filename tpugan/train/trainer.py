@@ -30,14 +30,15 @@ from tpugan.sample import Sampler
 from tpugan.train.state import TrainState, create_train_state
 from tpugan.train.steps import build_train_step
 from tpugan.utils import MetricsLogger, make_grid, save_png, to_uint8
-from tpugan import ops
 
 
 class Trainer:
     def __init__(self, cfg: Config, data: Optional[dict] = None,
                  mesh: Optional[jax.sharding.Mesh] = None):
         self.cfg = cfg
-        ops.set_default_impl(cfg.train.kernels)
+        # NOTE: train.kernels affects SAMPLING/EVAL only (the Pallas kernels
+        # have no autodiff rules — the differentiated train step always uses
+        # the XLA conv path; see DESIGN.md §4).
         self.g, self.d = build_models(cfg.model, cfg.train.precision)
         self.state: TrainState = create_train_state(cfg, self.g, self.d)
         self.step_fn = build_train_step(cfg, self.g, self.d)
