@@ -140,9 +140,11 @@ def test_megakernel_matches_eval_apply_close(rng):
 
 
 @pytest.mark.parametrize("preset,size", [("dcgan_celeba64", 64),
-                                         ("dcgan_cifar10", 32)])
+                                         ("dcgan_cifar10", 32),
+                                         ("dcgan_mnist", 28)])
 def test_megakernel_v2_matches_eval_apply(rng, preset, size):
-    """Phase-separated megakernel (pallas_gen2) == eval apply, both sizes."""
+    """Phase-separated megakernel (pallas_gen2) == eval apply — all three
+    base grids (4x4 color families and the 7x7 MNIST head)."""
     from tpugan.ops import pallas_gen2
 
     cfg = get_preset(preset).override({"model.ngf": 16, "model.ndf": 16})
@@ -155,16 +157,15 @@ def test_megakernel_v2_matches_eval_apply(rng, preset, size):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(pallas_gen2.generator_forward(
             g, params, state, z, out_dtype=jnp.float32))
-    assert got.shape == (8, size, size, 3)
+    assert got.shape == (8, size, size, cfg.model.channels)
     np.testing.assert_allclose(got, ref, atol=5e-4)
 
 
-def test_megakernel_v2_unsupported_head_returns_none(rng):
-    """28px models have a 7x7 head -> v2 declines, caller falls back."""
+def test_megakernel_v2_unsupported_returns_none(rng):
+    """Malformed params -> v2 declines (None), caller falls back."""
     from tpugan.ops import pallas_gen2
 
     cfg = get_preset("dcgan_mnist").override({"model.ngf": 8, "model.ndf": 8})
     g, _ = build_models(cfg.model, "fp32")
-    params, state = g.init(jax.random.PRNGKey(0))
     z = jnp.zeros((2, cfg.model.nz), jnp.float32)
-    assert pallas_gen2.generator_forward(g, params, state, z) is None
+    assert pallas_gen2.generator_forward(g, {}, {}, z) is None

@@ -44,20 +44,22 @@ _TAPS = {0: [(1, 0), (3, -1)], 1: [(0, 1), (2, 0)]}
 
 _VMEM_LIMIT = 64 * 1024 * 1024
 _VMEM_BUDGET = 30 * 1024 * 1024
-BASE = 4  # frozen base grid (the generator head's 4x4)
+# The frozen base grid equals the generator head's spatial size (4 for the
+# 32/64/128px family, 7 for the 28px MNIST family) — the phase recurrence is
+# base-size agnostic.
 
 
-def _shift_phase(xp, c, axis_phase, axis_base):
+def _shift_phase(xp, c, axis_phase, axis_base, base):
     """Tap input: phase o+c of the halo-padded stack ``xp``.
 
-    xp: (..., P, ..., BASE+2, ...) with P on axis_phase and the padded base
-    grid on axis_base.  Returns same-shape-P stack of (BASE,) windows.
+    xp: (..., P, ..., base+2, ...) with P on axis_phase and the padded base
+    grid on axis_base.  Returns same-shape-P stack of (base,) windows.
     """
 
-    def win(s):  # base window shifted by s: indices [1+s, 1+s+BASE)
+    def win(s):  # base window shifted by s: indices [1+s, 1+s+base)
         lo = 1 + s
         idx = [slice(None)] * xp.ndim
-        idx[axis_base] = slice(lo, lo + BASE)
+        idx[axis_base] = slice(lo, lo + base)
         return xp[tuple(idx)]
 
     if c == 0:
@@ -85,20 +87,20 @@ def _shift_phase(xp, c, axis_phase, axis_base):
 
 def _pad_base(x):
     """Zero halo on the two base-grid axes (3 and 4) of
-    (Ph, Pw, BT, BASE, BASE, C)."""
+    (Ph, Pw, BT, base, base, C)."""
     return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
 
 
 def _convt_block_phase(x, w, a, b, act: str):
     """One ConvT(4,2,1)+affine+act in phase space.
 
-    x: (Ph, Pw, BT, BASE, BASE, Cin) bf16 (unpadded)
-    returns (2Ph, 2Pw, BT, BASE, BASE, Cout) bf16.
+    x: (Ph, Pw, BT, base, base, Cin) f32 (unpadded)
+    returns (2Ph, 2Pw, BT, base, base, Cout).
     """
-    ph, pw, bt = x.shape[0], x.shape[1], x.shape[2]
+    ph, pw, bt, base = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
     cin, cout = x.shape[-1], w.shape[-1]
     xp = _pad_base(x)
-    m = ph * pw * bt * BASE * BASE
+    m = ph * pw * bt * base * base
 
     rows = []
     for dh in (0, 1):
@@ -106,9 +108,11 @@ def _convt_block_phase(x, w, a, b, act: str):
         for dw in (0, 1):
             acc = jnp.zeros((m, cout), jnp.float32)
             for kh, ch in _TAPS[dh]:
-                xh = _shift_phase(xp, ch, axis_phase=0, axis_base=3)
+                xh = _shift_phase(xp, ch, axis_phase=0, axis_base=3,
+                                  base=base)
                 for kw, cw in _TAPS[dw]:
-                    xs = _shift_phase(xh, cw, axis_phase=1, axis_base=4)
+                    xs = _shift_phase(xh, cw, axis_phase=1, axis_base=4,
+                                      base=base)
                     # bf16 only on the rank-2 matmul operand: high-rank bf16
                     # relayouts crash Mosaic (see probe findings); rank-2
                     # casts are safe and the MXU still runs bf16 x bf16.
@@ -120,16 +124,16 @@ def _convt_block_phase(x, w, a, b, act: str):
                 y = jax.nn.relu(y)
             elif act == "tanh":
                 y = jnp.tanh(y)
-            cols.append(y.reshape(ph, pw, bt, BASE, BASE, cout))
+            cols.append(y.reshape(ph, pw, bt, base, base, cout))
         # phase interleave = leading-axis stack+reshape (no lane relayout):
         # out phase 2*ow+dw along axis 1
         rows.append(jnp.stack(cols, axis=2).reshape(
-            ph, 2 * pw, bt, BASE, BASE, cout))
+            ph, 2 * pw, bt, base, base, cout))
     return jnp.stack(rows, axis=1).reshape(
-        2 * ph, 2 * pw, bt, BASE, BASE, cout)
+        2 * ph, 2 * pw, bt, base, base, cout)
 
 
-def _mega_kernel2(*refs, n_blocks, c0, out_dtype):
+def _mega_kernel2(*refs, n_blocks, c0, base, out_dtype):
     z_ref, wh_ref, ah_ref, bh_ref = refs[0], refs[1], refs[2], refs[3]
     out_ref = refs[-1]
     blk = refs[4:-1]
@@ -139,7 +143,7 @@ def _mega_kernel2(*refs, n_blocks, c0, out_dtype):
     h = jnp.dot(z, wh_ref[...], preferred_element_type=jnp.float32)
     h = h * ah_ref[...].reshape(1, -1) + bh_ref[...].reshape(1, -1)
     # phases stay f32 end-to-end: high-rank bf16 values crash Mosaic
-    x = jax.nn.relu(h).reshape(1, 1, bt, BASE, BASE, c0)
+    x = jax.nn.relu(h).reshape(1, 1, bt, base, base, c0)
 
     for i in range(n_blocks):
         w, a, b = blk[3 * i][...], blk[3 * i + 1][...], blk[3 * i + 2][...]
@@ -148,18 +152,16 @@ def _mega_kernel2(*refs, n_blocks, c0, out_dtype):
     out_ref[...] = x.astype(out_dtype)
 
 
-def _vmem_bytes2(bt, c0, blocks):
+def _vmem_bytes2(bt, c0, blocks, base):
     wbytes = 0
     c = c0
-    pixels = BASE * BASE  # full-res pixel count per image is invariant:
-    # P^2 * BASE^2 = (2^l * 4)^2 grows with l — track it explicitly
     p = 1
-    peak = bt * pixels * c0 * 4
+    peak = bt * base * base * c0 * 4
     for (w, a, b) in blocks:
         cout = w.shape[-1]
         wbytes += w.size * 2 + (a.size + b.size) * 4
-        full_px = (p * BASE) ** 2
-        padded_px = (p * p) * (BASE + 2) ** 2
+        full_px = (p * base) ** 2
+        padded_px = (p * p) * (base + 2) ** 2
         live = (bt * full_px * c * 4            # x f32
                 + bt * padded_px * c * 4        # halo-padded copy f32
                 + bt * full_px * c * 2          # bf16 matmul operand
@@ -171,12 +173,13 @@ def _vmem_bytes2(bt, c0, blocks):
     return wbytes + 2 * peak
 
 
-@functools.partial(jax.jit, static_argnames=("c0", "out_dtype", "bt"))
-def _call2(z, wh, ah, bh, flat_blocks, c0, out_dtype, bt):
+@functools.partial(jax.jit,
+                   static_argnames=("c0", "base", "out_dtype", "bt"))
+def _call2(z, wh, ah, bh, flat_blocks, c0, base, out_dtype, bt):
     n = z.shape[0]
     n_blocks = len(flat_blocks) // 3
     P = 2 ** n_blocks
-    size = BASE * P
+    size = base * P
     cf = flat_blocks[-3].shape[-1]
     grid = (n // bt,)
 
@@ -202,15 +205,15 @@ def _call2(z, wh, ah, bh, flat_blocks, c0, out_dtype, bt):
 
     # f32 out ref: rank-6 bf16 stores are in Mosaic's crash zone
     kernel = functools.partial(_mega_kernel2, n_blocks=n_blocks, c0=c0,
-                               out_dtype=jnp.float32)
+                               base=base, out_dtype=jnp.float32)
     phased = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((P, P, bt, BASE, BASE, cf),
+        out_specs=pl.BlockSpec((P, P, bt, base, base, cf),
                                lambda i: (0, 0, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, P, n, BASE, BASE, cf),
+        out_shape=jax.ShapeDtypeStruct((P, P, n, base, base, cf),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*args)
@@ -229,17 +232,16 @@ def generator_forward(g, params, state, z, *, out_dtype=jnp.float32,
         (wh, ah, bh), blocks, (s0, c0) = fold_generator(g, params, state, eps)
     except (KeyError, AttributeError):
         return None
-    if s0 != BASE:
-        return None  # 28px models have a 7x7 head; v2 targets 4x4 heads
     for (w, _, _) in blocks:
         if w.shape[0] != 4 or w.shape[1] != 4:
             return None
     n = z.shape[0]
     bt = min(batch_tile, n)
-    while bt > 1 and (_vmem_bytes2(bt, c0, blocks) > _VMEM_BUDGET
+    while bt > 1 and (_vmem_bytes2(bt, c0, blocks, s0) > _VMEM_BUDGET
                       or n % bt != 0):
         bt //= 2
     flat = []
     for (w, a, b) in blocks:
         flat += [w, a, b]
-    return _call2(z, wh, ah, bh, tuple(flat), c0, jnp.dtype(out_dtype), bt)
+    return _call2(z, wh, ah, bh, tuple(flat), c0, s0, jnp.dtype(out_dtype),
+                  bt)
