@@ -23,6 +23,7 @@ def params():
     return inception.init_random(0)
 
 
+@pytest.mark.slow
 def test_forward_shapes(params, rng):
     x = jnp.asarray(rng.standard_normal((2, 299, 299, 3)).astype(np.float32))
     feat, logits = inception.forward(params, x)
@@ -31,6 +32,7 @@ def test_forward_shapes(params, rng):
     assert np.all(np.isfinite(np.asarray(feat)))
 
 
+@pytest.mark.slow
 def test_resize_and_small_input(params, rng):
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
     x = inception.resize_to_299(x)
@@ -39,6 +41,7 @@ def test_resize_and_small_input(params, rng):
     assert feat.shape == (2, 2048)
 
 
+@pytest.mark.slow
 def test_deterministic(params, rng):
     x = jnp.asarray(rng.standard_normal((1, 299, 299, 3)).astype(np.float32))
     a, _ = inception.forward(params, x)
@@ -46,6 +49,7 @@ def test_deterministic(params, rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_weight_roundtrip_and_extractor(params, tmp_path, rng):
     path = str(tmp_path / "inception.pkl")
     with open(path, "wb") as f:

@@ -1,0 +1,65 @@
+"""Trainer-loop behaviours: cadence firing under scan fusion, CLI mesh."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpugan.configs import get_preset
+from tpugan.train import Trainer
+
+
+def _cfg(tmp, **over):
+    cfg = get_preset("dcgan_mnist").override({
+        "data.dataset": "synthetic", "data.batch_size": 8,
+        "data.synthetic_size": 32, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "train.precision": "fp32",
+        "train.log_every": 8, "train.sample_every": 8,
+        "train.ckpt_every": 8, "train.total_steps": 24, **over})
+    return dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=os.path.join(tmp, "ckpt"),
+        out_dir=os.path.join(tmp, "out")))
+
+
+@pytest.mark.parametrize("k", [1, 4])
+def test_cadences_fire_once_per_window(tmp_path, k):
+    """Every log/sample/ckpt cadence fires exactly once per window whether
+    steps advance singly or k at a time (scan-fused)."""
+    cfg = _cfg(str(tmp_path), **{
+        "data.device_resident": k > 1, "train.steps_per_call": k})
+    t = Trainer(cfg)
+    t.train()
+    out = cfg.train.out_dir
+    samples = [f for f in os.listdir(out) if f.startswith("samples_")]
+    assert len(samples) == 3, samples  # steps 8, 16, 24
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        logged = [json.loads(line)["step"] for line in f]
+    assert len(logged) == 3 and logged == sorted(logged)
+    ckpts = sorted(d for d in os.listdir(cfg.train.ckpt_dir)
+                   if d.isdigit())
+    assert ckpts == ["8", "16", "24"] or ckpts == ["16", "24", "8"] or \
+        sorted(map(int, ckpts)) == [8, 16, 24]
+
+
+def test_cli_train_with_mesh_shape(tmp_path, capsys):
+    """--set train.mesh_shape=4 builds a 4-device DP mesh (coercion fix)."""
+    from tpugan import cli
+
+    cli.main(["train", "dcgan_mnist",
+              "--set", "data.dataset=synthetic",
+              "--set", "data.batch_size=8",
+              "--set", "data.synthetic_size=32",
+              "--set", "model.ngf=8", "--set", "model.ndf=8",
+              "--set", "model.nz=8",
+              "--set", "train.mesh_shape=4",
+              "--set", "train.total_steps=2",
+              "--set", "train.log_every=2",
+              "--set", "train.sample_every=0",
+              "--set", "train.ckpt_every=0",
+              "--set", "train.precision=fp32",
+              "--out", str(tmp_path / "run")])
+    out = capsys.readouterr().out
+    final = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(final["final"]["loss_d"])
