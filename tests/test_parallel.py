@@ -106,3 +106,28 @@ def test_fsdp_2d_mesh_matches_single_device():
     for a, c in zip(jax.tree.leaves(jax.device_get(s1.params_g)),
                     jax.tree.leaves(jax.device_get(s8.params_g))):
         np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_sharding_halo_conv_matches_dense():
+    """Height-sharded conv with ppermute halo exchange == unsharded conv."""
+    from jax.sharding import Mesh
+    from tpugan.ops.convs import conv2d
+    from tpugan.parallel.spatial import shard_spatial, spatial_conv2d
+
+    rng = np.random.default_rng(0)
+    n, h, w_dim, cin, cout = 2, 32, 16, 8, 16
+    x = jnp.asarray(rng.standard_normal((n, h, w_dim, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((4, 4, cin, cout)).astype(np.float32) * 0.1)
+
+    ref = conv2d(x, w, stride=2, padding=1, impl="xla")
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    xs = shard_spatial(x, mesh)
+    got = spatial_conv2d(xs, w, mesh)
+    assert got.shape == (n, h // 2, w_dim // 2, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # output is actually sharded over the mesh
+    shard_h = {s.data.shape[1] for s in got.addressable_shards}
+    assert shard_h == {h // 2 // 4}
