@@ -6,10 +6,14 @@ Mosaic compiler rejects high-rank reshapes (observed: 4D->6D singleton
 expansion fails with 'unsupported shape cast'). This probe tries each
 candidate on tiny shapes and reports compile+run status:
 
-  A. rank-6 stack+reshape          (known-bad baseline)
-  B. strided store out[:, ::2]     (simplest if legal)
+  A. rank-6 stack+reshape
+  B. strided store out[:, ::2]
   C. concat + (W,2C)->(2W,C) riffle reshape, rows via flatten trick
-  D. 4 separate rank-4 outputs     (always-legal fallback; XLA combines)
+
+Measured verdicts on this v5e (fp32, C=128): A, B, C all COMPILE AND RUN.
+The crashes that motivated this probe were elsewhere: integer-indexed 6-D
+ref stores, bf16 strided stores, and bf16 high-rank relayouts (see
+DESIGN.md §4 and the memory notes).
 
 Usage: python benchmarks/probe_mosaic.py   (on the TPU)
 """
@@ -37,31 +41,6 @@ def make_inputs():
             for _ in range(4)]
 
 
-def probe(name, fn):
-    try:
-        out = fn()
-        out = np.asarray(out)
-        ps = make_inputs()
-        ref = np.asarray(ref_interleave(*ps))
-        ok = out.shape == ref.shape
-        print(f"{name}: COMPILED+RAN, shape {out.shape}", flush=True)
-        return True
-    except Exception as e:
-        msg = str(e).split("\n")[0][:120]
-        print(f"{name}: FAILED ({type(e).__name__}: {msg})", flush=True)
-        return False
-
-
-def correctness(name, fn):
-    ps = make_inputs()
-    try:
-        got = np.asarray(fn(*ps))
-        ref = np.asarray(ref_interleave(*ps))
-        err = np.abs(got - ref).max()
-        print(f"{name}: max err {err:.2e}", flush=True)
-    except Exception as e:
-        print(f"{name}: RUN FAILED {type(e).__name__}: "
-              f"{str(e).splitlines()[0][:120]}", flush=True)
 
 
 # --- A: rank-6 stack + reshape (known bad) ---------------------------------
