@@ -43,7 +43,7 @@ def make_inputs():
 
 
 
-# --- A: rank-6 stack + reshape (known bad) ---------------------------------
+# --- A: rank-6 stack + reshape ----------------------------------------------
 def kernel_a(a_ref, b_ref, c_ref, d_ref, o_ref):
     full = jnp.stack([jnp.stack([a_ref[...], b_ref[...]], axis=3),
                       jnp.stack([c_ref[...], d_ref[...]], axis=3)], axis=2)
