@@ -74,3 +74,21 @@ def test_end_to_end_evaluate():
     # determinism of the whole eval
     r2 = evaluate(cfg, g, state.params_g, state.state_g, seed=0)
     assert r["fid"] == r2["fid"]
+
+
+def test_kid_near_zero_same_distribution(rng):
+    from tpugan.eval.fid import kid_from_features
+    a = rng.standard_normal((800, 16))
+    b = rng.standard_normal((800, 16))
+    kid, _ = kid_from_features(a, b, subset_size=400, n_subsets=5)
+    assert abs(kid) < 0.05  # unbiased: hovers near 0 for matched dists
+
+
+def test_kid_increases_with_distance(rng):
+    from tpugan.eval.fid import kid_from_features
+    base = rng.standard_normal((600, 16))
+    near = rng.standard_normal((600, 16)) * 1.05
+    far = rng.standard_normal((600, 16)) * 2.0 + 1.5
+    k_near, _ = kid_from_features(base, near, subset_size=300, n_subsets=5)
+    k_far, _ = kid_from_features(base, far, subset_size=300, n_subsets=5)
+    assert k_near < k_far

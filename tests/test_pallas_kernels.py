@@ -169,3 +169,26 @@ def test_megakernel_v2_unsupported_returns_none(rng):
     g, _ = build_models(cfg.model, "fp32")
     z = jnp.zeros((2, cfg.model.nz), jnp.float32)
     assert pallas_gen2.generator_forward(g, {}, {}, z) is None
+
+
+def test_megakernel_v2_conditional(rng):
+    """cDCGAN: embedding folds outside the kernel; matches eval apply."""
+    from tpugan.ops import pallas_gen2
+
+    cfg = get_preset("cdcgan_celeba64").override(
+        {"model.ngf": 8, "model.ndf": 8, "model.nz": 8, "model.embed_dim": 4})
+    g, _ = build_models(cfg.model, "bf16")
+    params, state = g.init(jax.random.PRNGKey(3))
+    z = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    y = jnp.asarray([0, 1, 1, 0], jnp.int32)
+    _, state = g.apply(params, state, (z, y), train=True)
+
+    ref = np.asarray(g.apply(params, state, (z, y), train=False)[0],
+                     np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pallas_gen2.generator_forward(
+            g, params, state, z, out_dtype=jnp.float32, y=y))
+    assert got.shape == (4, 64, 64, 3)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+    # missing labels -> decline (None)
+    assert pallas_gen2.generator_forward(g, params, state, z) is None

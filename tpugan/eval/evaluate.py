@@ -15,7 +15,11 @@ import numpy as np
 from tpugan.configs import Config
 from tpugan.data import load_dataset
 from tpugan.eval.features import make_extractor
-from tpugan.eval.fid import fid_from_features, inception_score
+from tpugan.eval.fid import (
+    fid_from_features,
+    inception_score,
+    kid_from_features,
+)
 from tpugan.sample import Sampler
 
 _REAL_CACHE: dict = {}
@@ -51,6 +55,8 @@ def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
     feat_real, _ = extractor(real_images, batch=bs)
 
     fid = fid_from_features(feat_real, feat_fake)
+    kid, kid_std = kid_from_features(feat_real, feat_fake)
     is_mean, is_std = inception_score(probs_fake)
-    return {"fid": fid, "is_mean": is_mean, "is_std": is_std,
+    return {"fid": fid, "kid": kid, "kid_std": kid_std,
+            "is_mean": is_mean, "is_std": is_std,
             "n": int(len(fake)), "backend": cfg.eval.metric}

@@ -224,10 +224,22 @@ def _call2(z, wh, ah, bh, flat_blocks, c0, base, out_dtype, bt):
 
 
 def generator_forward(g, params, state, z, *, out_dtype=jnp.float32,
-                      eps: float = 1e-5, batch_tile: int = 32):
+                      eps: float = 1e-5, batch_tile: int = 32, y=None):
     """Whole-generator forward (eval) in the phase-separated megakernel.
 
-    Returns None when unsupported (caller falls back)."""
+    Conditional generators are supported by folding the label embedding
+    OUTSIDE the kernel: z ← concat(z, embed[y]) feeds the inner generator's
+    (nz+embed_dim)-wide dense head.  Returns None when unsupported (caller
+    falls back)."""
+    from tpugan.models.cdcgan import CondGenerator
+
+    if isinstance(g, CondGenerator):
+        if y is None:
+            return None
+        e = params["embed"]["table"][jnp.asarray(y)]
+        z = jnp.concatenate([z.astype(jnp.float32),
+                             e.astype(jnp.float32)], axis=-1)
+        g, params, state = g.g, params["g"], state.get("g", {})
     try:
         (wh, ah, bh), blocks, (s0, c0) = fold_generator(g, params, state, eps)
     except (KeyError, AttributeError):

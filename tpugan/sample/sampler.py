@@ -43,29 +43,35 @@ def _build_sample_fn(cfg: Config, g: Module):
     """
     conditional = cfg.model.arch == "cdcgan"
 
-    if (cfg.train.kernels == "pallas" and not conditional
-            and jax.default_backend() == "tpu"):
+    if cfg.train.kernels == "pallas" and jax.default_backend() == "tpu":
         from tpugan.ops import pallas_gen, pallas_gen2
 
         @jax.jit
-        def xla_fallback(params_g, state_g, z):
-            img, _ = g.apply(params_g, state_g, z, train=False)
+        def xla_fallback(params_g, state_g, z, y=None):
+            zin = (z, y) if conditional else z
+            img, _ = g.apply(params_g, state_g, zin, train=False)
             return img.astype(jnp.float32)
 
         def sample_pallas(params_g, state_g, z, y=None):
-            # prefer the phase-separated v2 megakernel; fall back to v1,
-            # then to the XLA path. Mosaic compile failures on this
-            # toolchain are shape-dependent (see DESIGN.md) — treat them as
-            # "unsupported" and fall through rather than crash sampling.
-            for mod in (pallas_gen2, pallas_gen):
+            # prefer the phase-separated v2 megakernel (handles conditional
+            # models by folding the embedding outside the kernel); fall back
+            # to v1 (unconditional only), then to the XLA path. Mosaic
+            # compile failures on this toolchain are shape-dependent (see
+            # DESIGN.md) — treat them as "unsupported", don't crash sampling.
+            try:
+                out = pallas_gen2.generator_forward(
+                    g, params_g, state_g, z, out_dtype=jnp.float32, y=y)
+            except Exception:
+                out = None
+            if out is None and not conditional:
                 try:
-                    out = mod.generator_forward(g, params_g, state_g, z,
-                                                out_dtype=jnp.float32)
+                    out = pallas_gen.generator_forward(
+                        g, params_g, state_g, z, out_dtype=jnp.float32)
                 except Exception:
                     out = None
-                if out is not None:
-                    return out
-            return xla_fallback(params_g, state_g, z)
+            if out is not None:
+                return out
+            return xla_fallback(params_g, state_g, z, y)
 
         return sample_pallas
 
