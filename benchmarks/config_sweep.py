@@ -16,8 +16,6 @@ import time
 
 
 def run_one(name: str, steps: int) -> dict:
-    import numpy as np
-
     from tpugan.configs import get_preset
     from tpugan.eval import evaluate
     from tpugan.train import Trainer
@@ -34,12 +32,12 @@ def run_one(name: str, steps: int) -> dict:
         cfg.train, ckpt_dir=tmp + "/ckpt", out_dir=tmp + "/out"))
     trainer = Trainer(cfg)
     real = trainer._dataset()["images"][:512]
-    r0 = evaluate(cfg, trainer.g, trainer.state.params_g,
+    r0 = evaluate(cfg, trainer.g, trainer._gen_params(),
                   trainer.state.state_g, real_images=real)
     t0 = time.time()
     metrics = trainer.train()
     wall = time.time() - t0
-    r1 = evaluate(cfg, trainer.g, trainer.state.params_g,
+    r1 = evaluate(cfg, trainer.g, trainer._gen_params(),
                   trainer.state.state_g, real_images=real)
     return {
         "config": name, "steps": steps, "wall_s": round(wall, 1),
@@ -53,9 +51,12 @@ def run_one(name: str, steps: int) -> dict:
     }
 
 
-PRESETS = ["dcgan_mnist", "dcgan_cifar10", "lsgan_cifar10", "wgan_cifar10",
-           "wgan_gp_cifar10", "sngan_cifar10", "dcgan_celeba64",
-           "cdcgan_celeba64"]
+# (preset, steps-scale): the 128px config runs half the steps
+PRESETS = [("dcgan_mnist", 1.0), ("dcgan_cifar10", 1.0),
+           ("lsgan_cifar10", 1.0), ("wgan_cifar10", 1.0),
+           ("wgan_gp_cifar10", 1.0), ("sngan_cifar10", 1.0),
+           ("dcgan_celeba64", 1.0), ("cdcgan_celeba64", 1.0),
+           ("cdcgan_celeba128", 0.5)]
 
 
 def main():
@@ -67,9 +68,9 @@ def main():
     import jax
 
     rows = []
-    for name in PRESETS:
+    for name, scale in PRESETS:
         try:
-            r = run_one(name, args.steps)
+            r = run_one(name, max(int(args.steps * scale), 2))
         except Exception as e:
             r = {"config": name,
                  "error": f"{type(e).__name__}: {str(e).splitlines()[0][:90]}"}
@@ -80,13 +81,14 @@ def main():
         f.write(f"# Per-config end-to-end sweep ({jax.devices()})\n\n")
         f.write(f"{args.steps} training steps each, synthetic data "
                 "(device-resident, scan-fused), proxy-FID on 512 samples.\n\n")
-        f.write("| config | img/s | proxy-FID init→final | improvement "
-                "| KID final |\n|---|---|---|---|---|\n")
+        f.write("| config | steps | img/s | proxy-FID init→final "
+                "| improvement | KID final |\n|---|---|---|---|---|---|\n")
         for r in rows:
             if "error" in r:
-                f.write(f"| {r['config']} | FAILED: {r['error']} | | | |\n")
+                f.write(f"| {r['config']} | | FAILED: {r['error']} | | | |\n")
             else:
-                f.write(f"| {r['config']} | {r['images_per_sec']:.0f} "
+                f.write(f"| {r['config']} | {r['steps']} "
+                        f"| {r['images_per_sec']:.0f} "
                         f"| {r['fid_proxy_init']:.4f} → "
                         f"{r['fid_proxy_final']:.4f} "
                         f"| {r['fid_improvement_x']}× | {r['kid_final']} |\n")

@@ -43,6 +43,10 @@ def kid_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
     rng = np.random.default_rng(seed)
     d = feat_real.shape[1]
     m = min(subset_size, len(feat_real), len(feat_fake))
+    if m == len(feat_real) and m == len(feat_fake):
+        # subsets would all be full-set permutations (kernel sums are
+        # permutation-invariant): one exact pass, zero estimator variance
+        n_subsets = 1
     scores = []
     for _ in range(n_subsets):
         x = feat_real[rng.choice(len(feat_real), m, replace=False)]

@@ -236,10 +236,13 @@ def generator_forward(g, params, state, z, *, out_dtype=jnp.float32,
     if isinstance(g, CondGenerator):
         if y is None:
             return None
-        e = params["embed"]["table"][jnp.asarray(y)]
-        z = jnp.concatenate([z.astype(jnp.float32),
-                             e.astype(jnp.float32)], axis=-1)
-        g, params, state = g.g, params["g"], state.get("g", {})
+        try:
+            e = params["embed"]["table"][jnp.asarray(y)]
+            z = jnp.concatenate([z.astype(jnp.float32),
+                                 e.astype(jnp.float32)], axis=-1)
+            g, params, state = g.g, params["g"], state.get("g", {})
+        except (KeyError, TypeError):
+            return None  # malformed params: decline per the None contract
     try:
         (wh, ah, bh), blocks, (s0, c0) = fold_generator(g, params, state, eps)
     except (KeyError, AttributeError):

@@ -30,6 +30,10 @@ def spatial_conv2d(x, w, mesh: Mesh, *, axis: str = "space"):
     w: (4, 4, Cin, Cout).  Returns (N, H/2, W, Cout) sharded the same way.
     """
     n_shards = mesh.shape[axis]
+    if x.shape[1] % (2 * n_shards) != 0:
+        raise ValueError(
+            f"H={x.shape[1]} must be divisible by 2*n_shards={2 * n_shards} "
+            "(stride-2 windows must align with shard boundaries)")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -37,11 +41,12 @@ def spatial_conv2d(x, w, mesh: Mesh, *, axis: str = "space"):
         out_specs=P(None, axis, None, None))
     def conv_shard(xs, wf):
         idx = lax.axis_index(axis)
-        # halo exchange: receive the previous shard's last row and the next
-        # shard's first two rows (output row i reads input 2i-1 .. 2i+2)
+        # halo exchange: one row each way (output row i reads input rows
+        # 2i-1 .. 2i+2; the shard's last window tops out at its row Hs,
+        # the neighbor's first row)
         up = lax.ppermute(xs[:, -1:], axis,
                           [(i, (i + 1) % n_shards) for i in range(n_shards)])
-        down = lax.ppermute(xs[:, :2], axis,
+        down = lax.ppermute(xs[:, :1], axis,
                             [(i, (i - 1) % n_shards)
                              for i in range(n_shards)])
         # global edges use zero padding (p=1 for the top row; the bottom
