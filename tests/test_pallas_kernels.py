@@ -192,3 +192,27 @@ def test_megakernel_v2_conditional(rng):
     np.testing.assert_allclose(got, ref, atol=5e-4)
     # missing labels -> decline (None)
     assert pallas_gen2.generator_forward(g, params, state, z) is None
+
+
+def test_conv_stats_fused(rng):
+    """One-pass conv + BN batch statistics == XLA conv + separate reduce."""
+    from tpugan.ops.pallas_conv_stats import conv_stats
+
+    n, h, cin, cout = 6, 16, 8, 16
+    x = jnp.asarray(rng.standard_normal((n, h, h, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((4, 4, cin, cout)).astype(np.float32) * 0.1)
+
+    ref = np.asarray(xla_conv(x, w, stride=2, padding=1, impl="xla"))
+    ref_mean = ref.mean(axis=(0, 1, 2))
+    ref_var = ref.var(axis=(0, 1, 2))
+
+    with pltpu.force_tpu_interpret_mode():
+        y, mean, var = conv_stats(x, w, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), ref_mean, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), ref_var, rtol=1e-3,
+                               atol=1e-5)
+    # unsupported shapes decline
+    assert conv_stats(x, jnp.zeros((3, 3, cin, cout))) is None
