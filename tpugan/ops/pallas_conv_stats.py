@@ -7,17 +7,18 @@ This kernel emits the conv output AND the per-channel (Σy, Σy²) in the same
 pass — the normalize+activation epilogue then needs only one more read,
 saving a full HBM pass over the activation per block.
 
-Mechanics: parity-plane conv (pallas_conv.py math); the statistics
-accumulate in a VMEM scratch buffer across sequential grid programs and are
-written once by the last program.
+Mechanics: parity-plane conv (pallas_conv.py math); each grid program emits
+its partial per-channel (Σy, Σy²) into its own block of a second output,
+reduced to the batch statistics by XLA afterwards.
 
-STATUS (hardware): math verified in interpret mode; on this box's tunneled
-toolchain the compiled kernel FAULTS THE TPU WORKER at runtime with either
-accumulation pattern (revisited output block, or scratch+final-write) when
-the grid has multiple programs — cross-program accumulation appears
-runtime-broken here even though small-kernel chains/scan/custom_vjp all
-work (ROADMAP item 1).  DO NOT deploy on this toolchain; re-validate on a
-standard PJRT TPU runtime before integrating the custom_vjp train path.
+STATUS (hardware): math verified in interpret mode; the base parity-plane
+conv kernel runs correctly compiled on this chip (pallas_conv), but adding
+the small per-channel stats output FAULTS THE TPU WORKER at runtime in
+every formulation tried (revisited-output accumulation, scratch+final
+write, per-program partial blocks, 1-D and 2-D reductions) — the trigger
+appears to be the heterogeneous second output itself on this tunneled
+toolchain.  DO NOT deploy here; re-validate on a standard PJRT TPU runtime
+before integrating the custom_vjp train path.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _kernel(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, out_ref, stats_ref,
-            acc_scratch, *, Ho, Wo, cin, cout):
+            *, Ho, Wo, cin, cout):
     planes = {(0, 0): p00_ref[...], (0, 1): p01_ref[...],
               (1, 0): p10_ref[...], (1, 1): p11_ref[...]}
     bt = planes[(0, 0)].shape[0]
@@ -50,25 +51,14 @@ def _kernel(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, out_ref, stats_ref,
 
     out_ref[...] = acc.reshape(bt, Ho, Wo, cout).astype(out_ref.dtype)
 
-    # per-channel stats accumulate in SCRATCH (persists across sequential
-    # grid programs) and are written to the output once, by the last
-    # program. Accumulating directly in a revisited output block faulted
-    # the TPU worker at runtime (pipelined output buffers rotate).
-    s = jnp.sum(acc, axis=0)
-    sq = jnp.sum(jnp.square(acc), axis=0)
-    tile = jnp.stack([s, sq], axis=0)  # (2, cout)
-
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        acc_scratch[...] = jnp.zeros_like(acc_scratch)
-
-    acc_scratch[...] += tile
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        stats_ref[...] = acc_scratch[...]
+    # Per-program PARTIAL stats: each program writes its own block of the
+    # (num_programs, 2, C) output; XLA reduces them afterwards. No block is
+    # ever revisited (cross-program accumulation faults this toolchain's
+    # TPU worker), and everything stays 2-D (1-D vector ops are another
+    # fault source on this hardware).
+    s = jnp.sum(acc, axis=0, keepdims=True)                # (1, cout)
+    sq = jnp.sum(jnp.square(acc), axis=0, keepdims=True)   # (1, cout)
+    stats_ref[...] = jnp.concatenate([s, sq], axis=0)[None]  # (1, 2, cout)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
@@ -100,18 +90,17 @@ def _dispatch(x, w, out_dtype):
         out_specs=(
             pl.BlockSpec((bt, Ho, Wo, cout), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, cout), lambda i: (0, 0),
+            pl.BlockSpec((1, 2, cout), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, Ho, Wo, cout), out_dtype),
-            jax.ShapeDtypeStruct((2, cout), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 2, cout), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((2, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(*planes, w)
-    return out, stats
+    return out, stats.sum(axis=0)  # XLA reduces the per-program partials
 
 
 def conv_stats(x, w, *, out_dtype=None
