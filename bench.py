@@ -55,20 +55,29 @@ def torch_reference_gen(image_size: int, nz: int = 100, ngf: int = 64,
 
 
 def bench_torch_cpu(image_size: int, batch: int, steps: int,
-                    warmup: int = 2) -> float:
+                    warmup: int = 3, repeats: int = 5) -> float:
+    """Pinned, repeatable denominator: fixed thread count (this box has one
+    host CPU), fixed batch/steps, median over ``repeats`` timed runs.  Round
+    1 quoted 130–320 img/s run-to-run from a single unpinned measurement;
+    the median-of-N with pinned threads is the one canonical number."""
+    import statistics
+
     import torch
 
+    torch.set_num_threads(1)
     torch.manual_seed(0)
     g = torch_reference_gen(image_size).eval()
     z = torch.randn(batch, 100, 1, 1)
+    rates = []
     with torch.no_grad():
         for _ in range(warmup):
             g(z)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            g(z)
-        dt = time.perf_counter() - t0
-    return batch * steps / dt
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                g(z)
+            rates.append(batch * steps / (time.perf_counter() - t0))
+    return statistics.median(rates)
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,45 @@ def test_end_to_end_evaluate():
     assert r["fid"] == r2["fid"]
 
 
+def test_real_feature_cache_hit_for_passed_images(rng, monkeypatch):
+    """In-training eval passes real_images= every call; the second call must
+    reuse cached real features instead of re-extracting 10k of them."""
+    import importlib
+
+    ev = importlib.import_module("tpugan.eval.evaluate")
+
+    cfg = get_preset("dcgan_cifar10").override({
+        "data.dataset": "synthetic", "data.synthetic_size": 256,
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "train.precision": "fp32", "eval.fid_n": 64, "eval.fid_batch": 64,
+    })
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    reals = rng.integers(0, 256, (64, 32, 32, 3)).astype(np.uint8)
+
+    calls = []
+    orig = ev.make_extractor
+
+    def counting_make_extractor(*a, **kw):
+        ex = orig(*a, **kw)
+
+        def wrapped(x, batch=64):
+            calls.append(len(x))
+            return ex(x, batch=batch)
+
+        return wrapped
+
+    monkeypatch.setattr(ev, "make_extractor", counting_make_extractor)
+    ev._REAL_FEAT_CACHE.clear()
+    r1 = ev.evaluate(cfg, g, state.params_g, state.state_g, seed=0,
+                     real_images=reals)
+    n_first = len(calls)  # fake + real extraction
+    r2 = ev.evaluate(cfg, g, state.params_g, state.state_g, seed=0,
+                     real_images=reals)
+    assert len(calls) == n_first + 1  # second call: fake extraction only
+    assert r1["fid"] == r2["fid"]
+
+
 def test_kid_near_zero_same_distribution(rng):
     from tpugan.eval.fid import kid_from_features
     a = rng.standard_normal((800, 16))

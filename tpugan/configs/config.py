@@ -103,7 +103,10 @@ class TrainConfig:
     # lax.scan — the host only orchestrates every K steps (hides dispatch
     # latency entirely; metrics/log cadence rounds to K).
     steps_per_call: int = 1
-    kernels: str = "xla"  # xla | pallas — fused conv kernel backend
+    # xla | pallas — sampling-path kernel backend.  "pallas" runs the
+    # whole-generator megakernel: experimental and SLOWER than XLA on this
+    # toolchain (0.07–0.15x, DESIGN.md §4); falls back to XLA per-shape.
+    kernels: str = "xla"
     donate: bool = True  # donate train-state buffers into the jitted step
     mesh_shape: Optional[int] = None  # data-parallel devices (None = all)
     resume: str = ""  # checkpoint path/dir to resume from

@@ -9,6 +9,7 @@ spectral-norm u) under one jitted function.
 
 from __future__ import annotations
 
+import warnings
 import weakref
 from typing import Optional
 
@@ -52,22 +53,32 @@ def _build_sample_fn(cfg: Config, g: Module):
             img, _ = g.apply(params_g, state_g, zin, train=False)
             return img.astype(jnp.float32)
 
+        # Mosaic compile failures on this toolchain are shape-dependent
+        # (DESIGN.md §4) and surface as runtime errors from the PJRT layer —
+        # treat those as "unsupported" and fall back, but never swallow
+        # Python-side bugs (TypeError/AttributeError/assertion), and always
+        # say which path ran: silent fallback masked real bugs in round 1.
+        _compile_errors = (jax.errors.JaxRuntimeError, RuntimeError,
+                           NotImplementedError, ValueError)
+
         def sample_pallas(params_g, state_g, z, y=None):
             # prefer the phase-separated v2 megakernel (handles conditional
             # models by folding the embedding outside the kernel); fall back
-            # to v1 (unconditional only), then to the XLA path. Mosaic
-            # compile failures on this toolchain are shape-dependent (see
-            # DESIGN.md) — treat them as "unsupported", don't crash sampling.
+            # to v1 (unconditional only), then to the XLA path.
             try:
                 out = pallas_gen2.generator_forward(
                     g, params_g, state_g, z, out_dtype=jnp.float32, y=y)
-            except Exception:
+            except _compile_errors as e:
+                warnings.warn(f"pallas v2 megakernel unavailable for this "
+                              f"shape ({type(e).__name__}); falling back")
                 out = None
             if out is None and not conditional:
                 try:
                     out = pallas_gen.generator_forward(
                         g, params_g, state_g, z, out_dtype=jnp.float32)
-                except Exception:
+                except _compile_errors as e:
+                    warnings.warn(f"pallas v1 megakernel unavailable "
+                                  f"({type(e).__name__}); using XLA sampler")
                     out = None
             if out is not None:
                 return out
