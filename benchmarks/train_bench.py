@@ -23,15 +23,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_preset(name: str, batch: int, k: int = 20) -> dict:
+def bench_preset(name: str, batch: int, k: int = 20,
+                 fuse_stats: str = "off") -> dict:
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    from tpugan import ops
     from tpugan.configs import get_preset
     from tpugan.models import build_models
     from tpugan.train import build_train_step, create_train_state
 
+    ops.set_fuse_stats(fuse_stats)
     cfg = get_preset(name).override({"data.batch_size": batch})
     g, d = build_models(cfg.model, cfg.train.precision)
     # keep donation off: we re-enter with the same state object in timing
@@ -69,7 +72,7 @@ def bench_preset(name: str, batch: int, k: int = 20) -> dict:
     t_lo = min(timed(run_lo) for _ in range(3))
     t_hi = min(timed(run_hi) for _ in range(3))
     per_step = (t_hi - t_lo) / (hi - lo)
-    return {"preset": name, "batch": batch,
+    return {"preset": name, "batch": batch, "fuse_stats": fuse_stats,
             "images_per_sec": batch / per_step,
             "ms_per_step": per_step * 1e3}
 
@@ -81,12 +84,16 @@ def main():
         "sngan_cifar10,dcgan_celeba64,cdcgan_celeba128"))
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--fuse-stats", default="off",
+                    choices=("on", "off", "auto"),
+                    help="train-path conv+BN-stats Pallas fusion")
     args = ap.parse_args()
 
     results = []
     for name in args.presets.split(","):
         try:
-            r = bench_preset(name.strip(), args.batch, args.steps)
+            r = bench_preset(name.strip(), args.batch, args.steps,
+                             fuse_stats=args.fuse_stats)
             log(f"{r['preset']}: {r['images_per_sec']:.0f} img/s "
                 f"({r['ms_per_step']:.2f} ms/step)")
             results.append(r)

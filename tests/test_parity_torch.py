@@ -220,6 +220,65 @@ def test_lsgan_trajectory_matches_torch(rng):
                                rtol=2e-2, atol=2e-3)
 
 
+def test_wgan_gp_trajectory_matches_torch():
+    """WGAN-GP — the double-backward hot path — tracks the torch twin over
+    30 steps (6 G updates at n_critic=5) with identical init/data/noise/GP
+    coefficients, and the final generators agree to float precision."""
+    from tpugan.parity.runners import run_convergence_parity
+
+    r = run_convergence_parity("wgan_gp_cifar10", 30, batch_size=16,
+                               width=16, nz=16, fid_n=64)
+    lj, lt = r["losses_tpugan"], r["losses_torch"]
+    np.testing.assert_allclose(lj[:, 0], lt[:, 0], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(lj[:, 1], lt[:, 1], rtol=2e-3, atol=2e-4)
+    f = r["final"]
+    assert f["pixel_mae"] < 1e-4
+    assert f["rel_delta"] < 1e-3  # proxy-FID relative delta
+
+
+def test_sngan_trajectory_matches_torch():
+    """SNGAN — hinge loss + spectral-norm power iteration (persistent u,
+    3 iterations per full step) — tracks the torch twin over 30 steps."""
+    from tpugan.parity.runners import run_convergence_parity
+
+    r = run_convergence_parity("sngan_cifar10", 30, batch_size=16,
+                               width=16, nz=16, fid_n=64)
+    lj, lt = r["losses_tpugan"], r["losses_torch"]
+    np.testing.assert_allclose(lj[:, 0], lt[:, 0], rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(lj[:, 1], lt[:, 1], rtol=5e-3, atol=5e-4)
+    f = r["final"]
+    assert f["pixel_mae"] < 2e-3  # fp32 drift over 30 steps of power iter
+    assert f["rel_delta"] < 5e-3
+
+
+def test_sn_sigma_matches_torch_builtin(rng):
+    """Semantics vs the reference's actual builtin: after power-iteration
+    convergence, tpugan's σ equals torch.nn.utils.spectral_norm's σ (both
+    equal the top singular value; formulations differ only pre-convergence)."""
+    import torch.nn.utils as tutils
+
+    from tpugan.nn.layers import Conv
+    from tpugan.nn.spectral_norm import SpectralNorm
+
+    conv = SpectralNorm(Conv(8, 16, 4, 2, 1, use_bias=False,
+                             dtype=jnp.float32), n_iter=50)
+    params, state = conv.init(jax.random.PRNGKey(0))
+    sigma_ours, _ = conv._sigma(params["w"], state["u"])
+
+    tconv = torch.nn.Conv2d(8, 16, 4, 2, 1, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(
+            np.asarray(params["w"]).transpose(3, 2, 0, 1).copy()))
+    tconv = tutils.spectral_norm(tconv, n_power_iterations=50)
+    tconv.train()
+    x = torch.zeros(1, 8, 8, 8)
+    tconv(x)  # triggers the power iterations
+    w_bar = tconv.weight  # W / sigma
+    sigma_torch = (tconv.weight_orig.reshape(-1)[0]
+                   / w_bar.reshape(-1)[0]).item()
+    np.testing.assert_allclose(float(sigma_ours), sigma_torch, rtol=1e-4)
+
+
 def test_wgan_clip_trajectory_matches_torch(rng):
     """Original WGAN (RMSprop + weight clipping), n_critic=1 for the test."""
     cfg = _cfg(bn_d=True).override({

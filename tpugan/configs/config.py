@@ -107,6 +107,15 @@ class TrainConfig:
     # whole-generator megakernel: experimental and SLOWER than XLA on this
     # toolchain (0.07–0.15x, DESIGN.md §4); falls back to XLA per-shape.
     kernels: str = "xla"
+    # Train-path conv+BN-stats fusion (Pallas, custom_vjp).  MEASURED SLOWER
+    # than XLA on this toolchain (dcgan_cifar10@256: 1.78 vs 0.49 ms/step —
+    # the Pallas base conv is 0.23-0.67x XLA's roofline conv, which the one
+    # saved HBM stats pass cannot recover; DESIGN.md §4).  Kept probe-gated
+    # for experimentation: "auto" enables on TPU after a one-time subprocess
+    # probe (a broken toolchain faults the TPU worker); "on" forces it.
+    # Single-chip only — the trainer disables it under data parallelism
+    # (BN stats must reduce cross-replica).
+    fuse_stats: str = "off"
     donate: bool = True  # donate train-state buffers into the jitted step
     mesh_shape: Optional[int] = None  # data-parallel devices (None = all)
     resume: str = ""  # checkpoint path/dir to resume from

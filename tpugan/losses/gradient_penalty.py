@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 
 def gradient_penalty(d_score_fn, real, fake, key, *, center: float = 1.0,
-                     eps: float = 1e-12):
+                     eps: float = 1e-12, alpha=None):
     """E[(‖∇_x̂ D(x̂)‖₂ − center)²] over per-sample interpolates.
 
     Args:
@@ -33,11 +33,17 @@ def gradient_penalty(d_score_fn, real, fake, key, *, center: float = 1.0,
         (pass values, not a traced function of G's params).
       key: PRNG key for the per-sample interpolation coefficients.
       center: target gradient norm (1.0 for WGAN-GP).
+      alpha: optional (N,1,1,1) interpolation coefficients overriding the
+        internal draw — the parity harness feeds the torch twin and this
+        step bit-identical coefficients through it.
 
     Returns scalar penalty (WITHOUT the λ factor — the caller scales).
     """
     n = real.shape[0]
-    alpha = jax.random.uniform(key, (n, 1, 1, 1), dtype=jnp.float32)
+    if alpha is None:
+        alpha = jax.random.uniform(key, (n, 1, 1, 1), dtype=jnp.float32)
+    else:
+        alpha = alpha.reshape(n, 1, 1, 1).astype(jnp.float32)
     x_hat = alpha * real.astype(jnp.float32) + (1.0 - alpha) * fake.astype(
         jnp.float32)
 

@@ -96,6 +96,11 @@ class DBlock(Module):
                  leak=0.2, kernel=4, stride=2, padding=1, dtype=jnp.bfloat16):
         conv = Conv(cin, cout, kernel, stride, padding,
                     use_bias=not batchnorm, dtype=dtype)
+        # Fused conv+BN-stats train path: plain (non-SN) k4/s2/p1 conv
+        # followed by BN — ops.conv_bn_stats emits the conv output and the
+        # batch statistics in one pass (ops/pallas_conv_stats.py).
+        self._fusable = (batchnorm and not spectral_norm
+                         and kernel == 4 and stride == 2 and padding == 1)
         self.conv = SpectralNorm(conv) if spectral_norm else conv
         self.bn = BatchNorm(cout, dtype=dtype) if batchnorm else None
         self.act = LeakyReLU(leak)
@@ -111,6 +116,22 @@ class DBlock(Module):
         return params, state
 
     def apply(self, params, state, x, *, train: bool = False):
+        from tpugan import ops
+        from tpugan.parallel.spatial import spatial_active
+
+        if (train and self._fusable and ops.fuse_stats_enabled()
+                and not spatial_active()
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            dt = self.conv.dtype
+            y, mean, var = ops.conv_bn_stats(
+                x.astype(dt), params["conv"]["w"].astype(dt))
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            out = ops.bn_act(y, params["bn"]["scale"], params["bn"]["bias"],
+                             mean, var, eps=self.bn.eps, act="leaky_relu",
+                             leak=self.act.slope, out_dtype=dt)
+            return out, {"bn": self.bn.update_running(
+                state["bn"], mean, var, n)}
+
         new_state = {}
         x, ns = self.conv.apply(params["conv"], state.get("conv", {}), x,
                                 train=train)

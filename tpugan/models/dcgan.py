@@ -32,6 +32,9 @@ def _g_schedule(image_size: int, ngf: int) -> Tuple[int, List[int]]:
         return 4, [ngf * 8, ngf * 4, ngf * 2, ngf]
     if image_size == 128:
         return 4, [ngf * 16, ngf * 8, ngf * 4, ngf * 2, ngf]
+    if image_size == 256:
+        # post-parity scaling size (spatial sharding); cap stays at 16×
+        return 4, [ngf * 16, ngf * 16, ngf * 8, ngf * 4, ngf * 2, ngf]
     raise ValueError(f"unsupported image_size {image_size}")
 
 
@@ -89,6 +92,8 @@ def _d_schedule(image_size: int, ndf: int) -> Tuple[int, List[int]]:
         return 4, [ndf, ndf * 2, ndf * 4, ndf * 8]
     if image_size == 128:
         return 4, [ndf, ndf * 2, ndf * 4, ndf * 8, ndf * 16]
+    if image_size == 256:
+        return 4, [ndf, ndf * 2, ndf * 4, ndf * 8, ndf * 16, ndf * 16]
     raise ValueError(f"unsupported image_size {image_size}")
 
 

@@ -158,6 +158,18 @@ class BatchNorm(Module):
         }
         return params, state
 
+    def update_running(self, state, mean, var, n: int):
+        """Momentum update of the running stats from a batch's (biased)
+        mean/var over n elements — shared by the unfused path here and the
+        fused conv+stats path in DBlock."""
+        unbiased = var * (n / max(n - 1, 1))
+        return {
+            "mean": (1 - self.momentum) * state["mean"]
+            + self.momentum * mean,
+            "var": (1 - self.momentum) * state["var"]
+            + self.momentum * unbiased,
+        }
+
     def apply(self, params, state, x, *, train: bool = False):
         xf = x.astype(jnp.float32)
         red = tuple(range(x.ndim - 1))  # all but channels
@@ -167,13 +179,7 @@ class BatchNorm(Module):
             n = 1
             for a in red:
                 n *= x.shape[a]
-            unbiased = var * (n / max(n - 1, 1))
-            new_state = {
-                "mean": (1 - self.momentum) * state["mean"]
-                + self.momentum * mean,
-                "var": (1 - self.momentum) * state["var"]
-                + self.momentum * unbiased,
-            }
+            new_state = self.update_running(state, mean, var, n)
         else:
             mean, var = state["mean"], state["var"]
             new_state = {}

@@ -15,3 +15,8 @@ the kernel backend is switchable per run (``train.kernels`` config).
 
 from tpugan.ops.convs import conv2d, conv_transpose2d, set_default_impl  # noqa: F401
 from tpugan.ops.fused import bn_act, bias_act  # noqa: F401
+from tpugan.ops.pallas_conv_stats import (  # noqa: F401
+    conv_bn_stats,
+    fuse_stats_enabled,
+    set_fuse_stats,
+)

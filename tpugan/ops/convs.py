@@ -47,6 +47,11 @@ def _resolve(impl):
 
 def conv2d(x, w, *, stride: int, padding: int, impl: str | None = None):
     """Strided conv, fp32 accumulation. x: (N,H,W,Ci) bf16/f32; w: (kh,kw,Ci,Co)."""
+    from tpugan.parallel.spatial import maybe_spatial_conv2d
+
+    y = maybe_spatial_conv2d(x, w, stride=stride, padding=padding)
+    if y is not None:
+        return y
     impl = _resolve(impl)
     if impl == "pallas":
         from tpugan.ops import pallas_conv
@@ -72,6 +77,11 @@ def conv_transpose2d(x, w, *, stride: int, padding: int,
     w is HWIO (I=cin, O=cout), *unflipped*; flipping happens inside the
     lowering.  out = (in-1)*s - 2p + k.
     """
+    from tpugan.parallel.spatial import maybe_spatial_conv_transpose2d
+
+    y = maybe_spatial_conv_transpose2d(x, w, stride=stride, padding=padding)
+    if y is not None:
+        return y
     impl = _resolve(impl)
     if impl == "pallas":
         from tpugan.ops import pallas_convt

@@ -1,19 +1,38 @@
-"""Spatial (height) sharding with halo exchange — the SP analog.
+"""Spatial (H or W) sharding with halo exchange — the SP analog.
 
 Image GANs have no sequence dimension, so sequence parallelism proper is
-N/A (SURVEY.md §2b); the spatial analog shards the feature map's height over
-a mesh axis so feature maps larger than one chip's HBM can be convolved.
-Each shard holds H/n rows; a strided Conv(k=4, s=2, p=1) needs one halo row
-from each neighbor (output row i reads input rows 2i−1 … 2i+2), exchanged
-with ``lax.ppermute`` over ICI inside ``shard_map``.
+N/A (SURVEY.md §2b); the spatial analog shards a feature-map axis over the
+mesh so maps larger than one chip's HBM can be convolved.  This module is
+the complete scaling path for ≥256px models:
 
-This is the post-parity scaling path for ≥256px models (ROADMAP §5);
-shipped here as a correct, tested primitive on the virtual mesh.
+- ``spatial_conv2d``      — Conv(k=4, s=2, p=1), sharded H or W
+- ``spatial_conv_transpose2d`` — ConvT(k=4, s=2, p=1) via the input-dilated
+  equivalence, sharded H or W
+- a trace-time **context** (``spatial_ctx``) consulted by ``tpugan.ops``
+  dispatch, so the models run spatially sharded WITHOUT model changes
+
+Design (TPU-first): only the convs need manual halo control, so only they
+run under ``shard_map`` (one row/col ``lax.ppermute`` each way over ICI).
+Everything else — BatchNorm's global (N, H, W) reductions, activations,
+losses — stays in jit's automatic SPMD partitioning, which inserts the
+cross-shard collectives itself.  shard_map is differentiable (ppermute
+transposes to ppermute), so the same primitives serve the train step.
+
+Halo math, stride-2 k=4 p=1 conv: output row i reads input rows 2i−1…2i+2,
+so a shard owning input rows [h0, h0+Hs) needs one halo row above and one
+below.  ConvT: output = conv(zero-interleaved input, flipped w, pad k−1−p=2);
+output rows [2h0, 2h0+2Hs) read dilated rows 2h0−2…2h0+2Hs+1, whose even
+(= nonzero) members are input rows h0−1…h0+Hs — again one halo row each way;
+odd dilated rows are zeros, so the per-shard conv pads (0, 1) in the sharded
+dim to cover the trailing odd row.  Global edges substitute zeros (= the
+reference padding).
 """
 
 from __future__ import annotations
 
 import functools
+import threading
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,48 +42,160 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpugan.ops.convs import DIMS
 
 
-def spatial_conv2d(x, w, mesh: Mesh, *, axis: str = "space"):
-    """Conv(k=4, s=2, p=1) with x sharded on H over ``axis``.
+def _halo(xs, axis_name: str, n: int, dim: int, idx):
+    """One-row/col halos from both neighbors, zeroed at the global edges."""
+    size = xs.shape[dim]
+    last = lax.slice_in_dim(xs, size - 1, size, axis=dim)
+    first = lax.slice_in_dim(xs, 0, 1, axis=dim)
+    up = lax.ppermute(last, axis_name,
+                      [(i, (i + 1) % n) for i in range(n)])
+    down = lax.ppermute(first, axis_name,
+                        [(i, (i - 1) % n) for i in range(n)])
+    up = jnp.where(idx == 0, jnp.zeros_like(up), up)
+    down = jnp.where(idx == n - 1, jnp.zeros_like(down), down)
+    return up, down
 
-    x: (N, H, W, Cin) with H divisible by 2*mesh.shape[axis];
-    w: (4, 4, Cin, Cout).  Returns (N, H/2, W, Cout) sharded the same way.
+
+def _specs(dim: int, axis: str):
+    spec = [None, None, None, None]
+    spec[dim] = axis
+    return P(*spec), P()
+
+
+def spatial_conv2d(x, w, mesh: Mesh, *, axis: str = "space", dim: int = 1):
+    """Conv(k=4, s=2, p=1) with x sharded on H (dim=1) or W (dim=2).
+
+    x: (N, H, W, Cin) with the sharded extent divisible by 2*n_shards;
+    w: (4, 4, Cin, Cout).  Returns the stride-2 output sharded the same way.
     """
-    n_shards = mesh.shape[axis]
-    if x.shape[1] % (2 * n_shards) != 0:
+    n = mesh.shape[axis]
+    if x.shape[dim] % (2 * n) != 0:
         raise ValueError(
-            f"H={x.shape[1]} must be divisible by 2*n_shards={2 * n_shards} "
-            "(stride-2 windows must align with shard boundaries)")
+            f"sharded dim {dim} extent {x.shape[dim]} must be divisible by "
+            f"2*n_shards={2 * n} (stride-2 windows align with shards)")
+    in_spec, w_spec = _specs(dim, axis)
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(None, axis, None, None), P()),
-        out_specs=P(None, axis, None, None))
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_spec, w_spec),
+                       out_specs=in_spec)
     def conv_shard(xs, wf):
         idx = lax.axis_index(axis)
-        # halo exchange: one row each way (output row i reads input rows
-        # 2i-1 .. 2i+2; the shard's last window tops out at its row Hs,
-        # the neighbor's first row)
-        up = lax.ppermute(xs[:, -1:], axis,
-                          [(i, (i + 1) % n_shards) for i in range(n_shards)])
-        down = lax.ppermute(xs[:, :1], axis,
-                            [(i, (i - 1) % n_shards)
-                             for i in range(n_shards)])
-        # global edges use zero padding (p=1 for the top row; the bottom
-        # halo rows simply aren't read for the last shard's outputs)
-        up = jnp.where(idx == 0, jnp.zeros_like(up), up)
-        down = jnp.where(idx == n_shards - 1, jnp.zeros_like(down), down)
-        xh = jnp.concatenate([up, xs, down], axis=1)
-        # rows now span global [2*o0 - 1, ...]; convolve VALID in H with the
-        # standard p=1 padding in W
+        up, down = _halo(xs, axis, n, dim, idx)
+        xh = jnp.concatenate([up, xs, down], axis=dim)
+        # sharded dim: halos replace the k4/s2/p1 padding (VALID here);
+        # unsharded spatial dim keeps the standard p=1.
+        pad = [(0, 0), (1, 1)]
+        pad[dim - 1] = (0, 0)
         return lax.conv_general_dilated(
-            xh, wf, window_strides=(2, 2),
-            padding=[(0, 0), (1, 1)],
+            xh, wf, window_strides=(2, 2), padding=pad,
             dimension_numbers=DIMS)
 
     return conv_shard(x, w)
 
 
-def shard_spatial(x, mesh: Mesh, axis: str = "space"):
-    """Place (N, H, W, C) with H sharded over ``axis``."""
-    return jax.device_put(
-        x, NamedSharding(mesh, P(None, axis, None, None)))
+def spatial_conv_transpose2d(x, w, mesh: Mesh, *, axis: str = "space",
+                             dim: int = 1):
+    """ConvT(k=4, s=2, p=1) (out = 2·in) with x sharded on H or W.
+
+    w is HWIO unflipped (tpugan ConvTranspose layout); the flip happens in
+    the input-dilated lowering, exactly as in ops.conv_transpose2d.
+    """
+    n = mesh.shape[axis]
+    if x.shape[dim] % n != 0:
+        raise ValueError(
+            f"sharded dim {dim} extent {x.shape[dim]} must be divisible by "
+            f"n_shards={n}")
+    in_spec, w_spec = _specs(dim, axis)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_spec, w_spec),
+                       out_specs=in_spec)
+    def convt_shard(xs, wu):
+        idx = lax.axis_index(axis)
+        up, down = _halo(xs, axis, n, dim, idx)
+        xh = jnp.concatenate([up, xs, down], axis=dim)
+        wf = wu[::-1, ::-1, :, :]
+        # sharded dim: dilate-2 the (halo+shard+halo) rows.  Local dilated
+        # row t is global dilated row 2(h0−1)+t, so local VALID output j is
+        # global output row 2h0+j (reading dilated t = j…j+3, max needed
+        # t = 2Hs+2 = exactly what's available) — no extra pad, and the
+        # VALID count 2(Hs+2)−1 − 4 + 1 = 2Hs is precisely this shard's
+        # output rows.  Unsharded dim: the standard k−1−p = 2 pad.
+        pad = [(2, 2), (2, 2)]
+        pad[dim - 1] = (0, 0)
+        return lax.conv_general_dilated(
+            xh, wf, window_strides=(1, 1), padding=pad,
+            lhs_dilation=(2, 2), dimension_numbers=DIMS)
+
+    return convt_shard(x, w)
+
+
+def shard_spatial(x, mesh: Mesh, axis: str = "space", dim: int = 1):
+    """Place (N, H, W, C) with dim sharded over ``axis``."""
+    spec, _ = _specs(dim, axis)
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# Trace-time spatial context: tpugan.ops.conv2d / conv_transpose2d consult
+# this and route qualifying convs (k4/s2/p1, shard-divisible extents) to the
+# halo primitives — the models themselves stay unchanged.
+# ---------------------------------------------------------------------------
+
+class _SpatialCtx(threading.local):
+    mesh: Optional[Mesh] = None
+    axis: str = "space"
+    dim: int = 1
+    min_extent: int = 0
+
+
+_CTX = _SpatialCtx()
+
+
+class spatial_ctx:
+    """Context manager enabling spatial conv dispatch during tracing.
+
+    ``min_extent`` skips maps whose sharded extent is too small to shard
+    (coarse levels fall back to the replicated conv — with 8 shards a 4×4
+    map isn't divisible anyway).
+    """
+
+    def __init__(self, mesh: Mesh, *, axis: str = "space", dim: int = 1,
+                 min_extent: int = 0):
+        self.prev = None
+        self.vals = (mesh, axis, dim, min_extent)
+
+    def __enter__(self):
+        self.prev = (_CTX.mesh, _CTX.axis, _CTX.dim, _CTX.min_extent)
+        _CTX.mesh, _CTX.axis, _CTX.dim, _CTX.min_extent = self.vals
+        return self
+
+    def __exit__(self, *exc):
+        _CTX.mesh, _CTX.axis, _CTX.dim, _CTX.min_extent = self.prev
+
+
+def spatial_active() -> bool:
+    """True while a spatial_ctx is entered (models' fused-path guard)."""
+    return _CTX.mesh is not None
+
+
+def maybe_spatial_conv2d(x, w, *, stride: int, padding: int):
+    """ops.conv2d hook: spatial dispatch, or None for the default path."""
+    m = _CTX.mesh
+    if (m is None or stride != 2 or padding != 1
+            or w.shape[0] != 4 or w.shape[1] != 4):
+        return None
+    n, d = m.shape[_CTX.axis], _CTX.dim
+    if x.shape[d] < max(_CTX.min_extent, 2 * n) or x.shape[d] % (2 * n):
+        return None
+    return spatial_conv2d(x, w, m, axis=_CTX.axis, dim=d)
+
+
+def maybe_spatial_conv_transpose2d(x, w, *, stride: int, padding: int):
+    """ops.conv_transpose2d hook: spatial dispatch, or None for default."""
+    m = _CTX.mesh
+    if (m is None or stride != 2 or padding != 1
+            or w.shape[0] != 4 or w.shape[1] != 4):
+        return None
+    n, d = m.shape[_CTX.axis], _CTX.dim
+    if x.shape[d] < max(_CTX.min_extent, n) or x.shape[d] % n:
+        return None
+    return spatial_conv_transpose2d(x, w, m, axis=_CTX.axis, dim=d)

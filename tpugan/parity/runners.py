@@ -1,0 +1,324 @@
+"""Cross-framework convergence-parity runners.
+
+The offline stand-in for the BASELINE "FID within 2% of reference" axis
+(reference mount empty; see SURVEY.md provenance note): run the *same*
+training — identical initial weights (transplant), identical real-data
+stream, identical z noise, identical GP interpolation coefficients — in
+both the tpugan (JAX/TPU) build and the torch twin (the reference's
+framework, bare ``torch.nn``), for any of the five loss kinds, then compare
+
+- per-step loss trajectories (tight over an early window; GAN training is
+  chaotic, so bit-level agreement decays exponentially with steps), and
+- the final generators statistically: proxy-FID of each against the same
+  real set through one shared feature extractor, plus the cross-FID
+  between the two fakes.
+
+Used by tests/test_parity_torch.py (short windows, default suite) and
+benchmarks/parity_convergence.py (hundreds of steps; results recorded in
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from tpugan.configs import Config
+
+
+def parity_cfg(preset_cfg: Config, *, batch_size: int = 32, width: int = 32,
+               nz: int = 32) -> Config:
+    """Shrink a preset for CPU-speed parity runs; force the settings the
+    comparison depends on (fp32, per-step dispatch, no flip augment —
+    the flip draw would come from jax RNG, which torch cannot mirror)."""
+    return preset_cfg.override({
+        "model.ngf": width, "model.ndf": width, "model.nz": nz,
+        "data.batch_size": batch_size, "data.hflip": False,
+        "data.dataset": "synthetic", "data.synthetic_size": 512,
+        "train.precision": "fp32", "train.steps_per_call": 1,
+        "train.ema": 0.0,
+    })
+
+
+def make_streams(cfg: Config, steps: int, seed: int = 0
+                 ) -> Tuple[List[Dict[str, np.ndarray]], np.ndarray]:
+    """Deterministic per-step inputs both frameworks consume verbatim.
+
+    Returns (streams, real_images) where real_images is the full synthetic
+    set in [-1, 1] float32 NHWC (also the FID real side)."""
+    from tpugan.data import load_dataset
+
+    data = load_dataset(
+        "synthetic", cfg.data.data_dir, image_size=cfg.model.image_size,
+        channels=cfg.model.channels, synthetic_size=cfg.data.synthetic_size,
+        seed=cfg.train.seed, n_classes=cfg.model.n_classes)
+    imgs = data["images"].astype(np.float32) / 127.5 - 1.0
+
+    rng = np.random.default_rng(seed)
+    n, bsz, nz = len(imgs), cfg.data.batch_size, cfg.model.nz
+    streams = []
+    for _ in range(steps):
+        idx = rng.integers(0, n, bsz)
+        streams.append({
+            "x": imgs[idx],
+            "z_d": rng.standard_normal((bsz, nz)).astype(np.float32),
+            "z_g": rng.standard_normal((bsz, nz)).astype(np.float32),
+            "alpha": rng.random((bsz, 1, 1, 1)).astype(np.float32),
+        })
+    return streams, imgs
+
+
+def run_tpugan(cfg: Config, g, d, streams) -> Tuple[object, np.ndarray]:
+    """Train the tpugan build on the streams; return (final TrainState,
+    (steps, 2) array of [loss_d, loss_g])."""
+    import jax.numpy as jnp
+
+    from tpugan.train import build_train_step, create_train_state
+
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    losses = []
+    gp = cfg.loss.kind == "wgan_gp"
+    for s in streams:
+        batch = {"image": jnp.asarray(s["x"]),
+                 "z_d": jnp.asarray(s["z_d"]),
+                 "z_g": jnp.asarray(s["z_g"])}
+        if gp:
+            batch["gp_alpha"] = jnp.asarray(s["alpha"])
+        state, m = step(state, batch)
+        losses.append((float(m["loss_d"]), float(m["loss_g"])))
+    return state, np.asarray(losses)
+
+
+def _torch_d_loss(kind: str, r, f, torch):
+    F = torch.nn.functional
+    if kind == "bce":
+        return (F.softplus(-r).mean() + F.softplus(f).mean())
+    if kind == "lsgan":
+        return 0.5 * (((r - 1.0) ** 2).mean() + (f ** 2).mean())
+    if kind in ("wgan", "wgan_gp"):
+        return f.mean() - r.mean()
+    if kind == "hinge":
+        return F.relu(1.0 - r).mean() + F.relu(1.0 + f).mean()
+    raise ValueError(kind)
+
+
+def _torch_g_loss(kind: str, f, torch):
+    F = torch.nn.functional
+    if kind == "bce":
+        return F.softplus(-f).mean()
+    if kind == "lsgan":
+        return 0.5 * ((f - 1.0) ** 2).mean()
+    if kind in ("wgan", "wgan_gp", "hinge"):
+        return -f.mean()
+    raise ValueError(kind)
+
+
+def _torch_gp(td, real, fake, alpha, torch):
+    """Mirror of losses/gradient_penalty.py, incl. the eps inside sqrt."""
+    a = torch.from_numpy(alpha)
+    x_hat = (a * real + (1.0 - a) * fake).detach().requires_grad_(True)
+    out = td(x_hat)
+    (grads,) = torch.autograd.grad(out.sum(), x_hat, create_graph=True)
+    norms = torch.sqrt(
+        grads.reshape(grads.shape[0], -1).pow(2).sum(1) + 1e-12)
+    return ((norms - 1.0) ** 2).mean()
+
+
+def build_torch_twins(cfg: Config, state):
+    """Torch G/D mirroring cfg's architecture, weights transplanted from a
+    tpugan TrainState (so both frameworks start bit-identical)."""
+    import jax
+
+    from tpugan.parity.torch_twin import (
+        TorchDiscriminator,
+        TorchGenerator,
+        transplant_d,
+        transplant_g,
+    )
+
+    m = cfg.model
+    tg = TorchGenerator(m.image_size, m.channels, m.nz, m.ngf,
+                        batchnorm=m.g_batchnorm)
+    td = TorchDiscriminator(m.image_size, m.channels, m.ndf,
+                            batchnorm=m.d_batchnorm,
+                            spectral_norm=m.d_spectral_norm)
+    transplant_g(jax.device_get(state.params_g),
+                 jax.device_get(state.state_g), tg)
+    transplant_d(jax.device_get(state.params_d),
+                 jax.device_get(state.state_d), td)
+    return tg, td
+
+
+def run_torch(cfg: Config, tg, td, streams) -> np.ndarray:
+    """Train the torch twins on the streams with the reference's loop
+    semantics (matching the tpugan step exactly: G's D-step forward runs in
+    train mode, D sees real then fake, G updates every n_critic-th step).
+
+    Returns (steps, 2) array of [loss_d, loss_g] (loss_g = 0.0 on skipped
+    G steps, matching the tpugan metric)."""
+    import torch
+
+    kind = cfg.loss.kind
+    n_critic = cfg.loss.n_critic
+    lambda_gp = cfg.loss.lambda_gp
+    clip = cfg.loss.clip_value if kind == "wgan" else None
+
+    o = cfg.optim
+    if o.optimizer == "adam":
+        mk = lambda ps, lr: torch.optim.Adam(
+            ps, lr=lr, betas=(o.beta1, o.beta2), eps=o.eps)
+    else:  # rmsprop — optax.rmsprop defaults decay=0.9, eps=1e-8
+        mk = lambda ps, lr: torch.optim.RMSprop(ps, lr=lr, alpha=0.9,
+                                                eps=1e-8)
+    opt_g = mk(tg.parameters(), o.lr_g)
+    opt_d = mk(td.parameters(), o.lr_d)
+
+    tg.train()
+    td.train()
+    losses = []
+    for t, s in enumerate(streams):
+        x = torch.from_numpy(s["x"].transpose(0, 3, 1, 2))
+        z_d = torch.from_numpy(s["z_d"])
+        z_g = torch.from_numpy(s["z_g"])
+
+        # --- D step (every iteration) ---
+        opt_d.zero_grad()
+        fake = tg(z_d).detach()       # G train-mode forward (BN stats move)
+        out_real = td(x)              # then real, then fake — u ordering
+        out_fake = td(fake)
+        loss_d = _torch_d_loss(kind, out_real, out_fake, torch)
+        if kind == "wgan_gp":
+            loss_d = loss_d + lambda_gp * _torch_gp(td, x, fake,
+                                                    s["alpha"], torch)
+        loss_d.backward()
+        opt_d.step()
+        if clip is not None:
+            with torch.no_grad():
+                for p in td.parameters():
+                    p.clamp_(-clip, clip)
+
+        # --- G step (every n_critic-th iteration) ---
+        loss_g_val = 0.0
+        if (t % n_critic) == (n_critic - 1):
+            opt_g.zero_grad()
+            out_g = td(tg(z_g))
+            loss_g = _torch_g_loss(kind, out_g, torch)
+            loss_g.backward()
+            opt_g.step()
+            loss_g_val = loss_g.item()
+        losses.append((loss_d.item(), loss_g_val))
+    return np.asarray(losses)
+
+
+def compare_final_generators(cfg: Config, g, state, tg, real_images,
+                             n: int = 512, seed: int = 1234
+                             ) -> Dict[str, float]:
+    """Proxy-FID of both final generators against the same real set via the
+    same extractor, plus the cross-FID between the two fake sets."""
+    import jax.numpy as jnp
+    import torch
+
+    from tpugan.eval.features import make_extractor
+    from tpugan.eval.fid import fid_from_features
+
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((n, cfg.model.nz)).astype(np.float32)
+
+    fake_j, _ = g.apply(state.params_g, state.state_g, jnp.asarray(z),
+                        train=False)
+    fake_j = np.asarray(fake_j, np.float32)
+
+    tg.eval()
+    with torch.no_grad():
+        fake_t = tg(torch.from_numpy(z)).numpy().transpose(0, 2, 3, 1)
+
+    ex = make_extractor(cfg.model.channels, "proxy")
+    feat_real, _ = ex(real_images[:max(n, 256)])
+    feat_j, _ = ex(fake_j)
+    feat_t, _ = ex(fake_t)
+    fid_j = fid_from_features(feat_real, feat_j)
+    fid_t = fid_from_features(feat_real, feat_t)
+    fid_cross = fid_from_features(feat_j, feat_t)
+    return {
+        "fid_tpugan": float(fid_j),
+        "fid_torch": float(fid_t),
+        "fid_cross": float(fid_cross),
+        "rel_delta": float(abs(fid_j - fid_t) / max(abs(fid_t), 1e-9)),
+        "pixel_mae": float(np.mean(np.abs(fake_j - fake_t))),
+    }
+
+
+def run_seed_noise_floor(preset: str, steps: int, *, batch_size: int = 32,
+                         width: int = 32, nz: int = 32, fid_n: int = 512,
+                         n_seeds: int = 2) -> Dict[str, object]:
+    """The reference's OWN seed-to-seed variability: train the torch twin
+    ``n_seeds`` times from one init on different data/noise streams, and
+    report the spread of the final proxy-FIDs (all pairwise relative
+    deltas).  The cross-framework delta from run_convergence_parity is
+    judged against this floor — a framework difference within the
+    reference's own seed noise is parity."""
+    import torch
+
+    from tpugan.configs import get_preset
+    from tpugan.eval.features import make_extractor
+    from tpugan.eval.fid import fid_from_features
+    from tpugan.models import build_models
+    from tpugan.train import create_train_state
+
+    cfg = parity_cfg(get_preset(preset), batch_size=batch_size, width=width,
+                     nz=nz)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state0 = create_train_state(cfg, g, d)
+
+    finals = []
+    real = None
+    for seed in range(n_seeds):
+        streams, real = make_streams(cfg, steps, seed=seed)
+        tg, td = build_torch_twins(cfg, state0)
+        run_torch(cfg, tg, td, streams)
+        tg.eval()
+        finals.append(tg)
+
+    rng = np.random.default_rng(1234)
+    z = torch.from_numpy(
+        rng.standard_normal((fid_n, cfg.model.nz)).astype(np.float32))
+    with torch.no_grad():
+        fakes = [t(z).numpy().transpose(0, 2, 3, 1) for t in finals]
+    ex = make_extractor(cfg.model.channels, "proxy")
+    feat_real, _ = ex(real[:max(fid_n, 256)])
+    fids = [float(fid_from_features(feat_real, ex(f)[0])) for f in fakes]
+    pair_rel = [abs(fids[i] - fids[j]) / max(abs(fids[j]), 1e-9)
+                for i in range(len(fids)) for j in range(len(fids)) if i < j]
+    return {
+        "preset": preset, "steps": steps, "fids": fids,
+        "noise_floor_rel": max(pair_rel),
+        "noise_floor_rel_median": float(np.median(pair_rel)),
+    }
+
+
+def run_convergence_parity(preset: str, steps: int, *, batch_size: int = 32,
+                           width: int = 32, nz: int = 32, fid_n: int = 512,
+                           stream_seed: int = 0) -> Dict[str, object]:
+    """End-to-end: build both frameworks from one init, train both on the
+    same streams, return trajectories + final-generator comparison."""
+    from tpugan.configs import get_preset
+    from tpugan.models import build_models
+
+    cfg = parity_cfg(get_preset(preset), batch_size=batch_size, width=width,
+                     nz=nz)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    streams, real = make_streams(cfg, steps, seed=stream_seed)
+
+    # Torch twins transplant from the *initial* state, so build it first.
+    from tpugan.train import create_train_state
+
+    state0 = create_train_state(cfg, g, d)
+    tg, td = build_torch_twins(cfg, state0)
+
+    state, losses_j = run_tpugan(cfg, g, d, streams)
+    losses_t = run_torch(cfg, tg, td, streams)
+    final = compare_final_generators(cfg, g, state, tg, real, n=fid_n)
+    return {"cfg": cfg, "losses_tpugan": losses_j, "losses_torch": losses_t,
+            "final": final}

@@ -58,25 +58,107 @@ class TorchGenerator(tnn.Module):
         return torch.tanh(self.final(x))
 
 
+def _sn_normalize(x):
+    """tpugan's exact _l2_normalize: x * rsqrt(sum(x^2) + 1e-12)."""
+    return x * torch.rsqrt(torch.sum(x * x) + 1e-12)
+
+
+class _SNBase(tnn.Module):
+    """Spectral norm mirroring tpugan.nn.spectral_norm.SpectralNorm exactly:
+    same w_mat orientation (d, cout), same iteration order, same final
+    σ = v·(W u) with u,v constant, same persist-only-in-training rule.
+    (torch's builtin ``nn.utils.spectral_norm`` computes σ = ‖Wᵀv‖ from the
+    pre-update v — equivalent at convergence but not bit-identical, which
+    matters for multi-step trajectory parity.)"""
+
+    def _init_u(self, cout: int):
+        self.register_buffer("u", torch.randn(cout))
+        with torch.no_grad():
+            self.u.copy_(_sn_normalize(self.u))
+
+    def _w_mat(self):  # (d, cout), grad-tracked — overridden per layer
+        raise NotImplementedError
+
+    def _normed_weight(self):
+        w_mat = self._w_mat()
+        u = self.u
+        with torch.no_grad():
+            wm = w_mat.detach()
+            v = _sn_normalize(wm @ u)
+            u = _sn_normalize(wm.t() @ v)
+            if self.training:
+                self.u.copy_(u)
+            v = _sn_normalize(wm @ u)
+        sigma = v @ (w_mat @ u)  # u, v constants; dσ/dW = v uᵀ
+        return self.weight / sigma
+
+
+class SNConv2d(_SNBase):
+    """Conv2d with tpugan-formulation spectral norm on the weight."""
+
+    def __init__(self, cin, cout, kernel, stride, padding, bias=True):
+        super().__init__()
+        self.stride, self.padding = stride, padding
+        self.weight = tnn.Parameter(torch.empty(cout, cin, kernel, kernel))
+        tnn.init.normal_(self.weight, 0.0, 0.02)
+        self.bias = tnn.Parameter(torch.zeros(cout)) if bias else None
+        self._init_u(cout)
+
+    def _w_mat(self):
+        # tpugan HWIO w.reshape(-1, cout) == torch OIHW permuted to HWIO
+        o = self.weight.shape[0]
+        return self.weight.permute(2, 3, 1, 0).reshape(-1, o)
+
+    def forward(self, x):
+        return torch.nn.functional.conv2d(
+            x, self._normed_weight(), self.bias,
+            stride=self.stride, padding=self.padding)
+
+
+class SNLinear(_SNBase):
+    """Linear with tpugan-formulation spectral norm on the weight."""
+
+    def __init__(self, din, dout, bias=True):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.empty(dout, din))
+        tnn.init.normal_(self.weight, 0.0, 0.02)
+        self.bias = tnn.Parameter(torch.zeros(dout)) if bias else None
+        self._init_u(dout)
+
+    def _w_mat(self):
+        return self.weight.t()  # tpugan Dense w is (din, dout)
+
+    def forward(self, x):
+        return torch.nn.functional.linear(x, self._normed_weight(),
+                                          self.bias)
+
+
 class TorchDiscriminator(tnn.Module):
-    """Mirror of tpugan.models.dcgan.Discriminator."""
+    """Mirror of tpugan.models.dcgan.Discriminator (incl. the SNGAN
+    variant: spectral norm on every conv + the tail, no BatchNorm)."""
 
     def __init__(self, image_size: int, channels: int, ndf: int,
-                 batchnorm: bool = True, leak: float = 0.2):
+                 batchnorm: bool = True, leak: float = 0.2,
+                 spectral_norm: bool = False):
         super().__init__()
         s0, chans = _d_schedule(image_size, ndf)
         layers = []
         cin = channels
         for i, cout in enumerate(chans):
-            bn = batchnorm and i > 0
-            layers.append(tnn.Conv2d(cin, cout, 4, 2, 1, bias=not bn))
+            bn = batchnorm and not spectral_norm and i > 0
+            if spectral_norm:
+                layers.append(SNConv2d(cin, cout, 4, 2, 1, bias=True))
+            else:
+                layers.append(tnn.Conv2d(cin, cout, 4, 2, 1, bias=not bn))
             if bn:
                 layers.append(tnn.BatchNorm2d(cout))
             layers.append(tnn.LeakyReLU(leak, True))
             cin = cout
         self.features = tnn.Sequential(*layers)
         self.s0, self.cl = s0, chans[-1]
-        self.tail = tnn.Linear(s0 * s0 * chans[-1], 1, bias=True)
+        din = s0 * s0 * chans[-1]
+        self.tail = (SNLinear(din, 1, bias=True) if spectral_norm
+                     else tnn.Linear(din, 1, bias=True))
 
     def forward(self, x):
         h = self.features(x)
@@ -170,7 +252,8 @@ def transplant_g(params, state, tg: TorchGenerator) -> None:
 
 @torch.no_grad()
 def transplant_d(params, state, td: TorchDiscriminator) -> None:
-    convs = [m for m in td.features if isinstance(m, tnn.Conv2d)]
+    convs = [m for m in td.features
+             if isinstance(m, (tnn.Conv2d, SNConv2d))]
     bns = [m for m in td.features if isinstance(m, tnn.BatchNorm2d)]
     bn_idx = 0
     i = 0
@@ -183,10 +266,15 @@ def transplant_d(params, state, td: TorchDiscriminator) -> None:
         if "bn" in blk:
             _copy_bn(blk["bn"], state[f"block{i}"]["bn"], bns[bn_idx])
             bn_idx += 1
+        blk_state = state.get(f"block{i}", {})
+        if isinstance(convs[i], SNConv2d):
+            convs[i].u.copy_(_t(np.asarray(blk_state["conv"]["u"])))
         i += 1
     tail = params["tail"]["dense"]
     td.tail.weight.copy_(_t(np.asarray(tail["w"]).T))
     td.tail.bias.copy_(_t(np.asarray(tail["b"])))
+    if isinstance(td.tail, SNLinear):
+        td.tail.u.copy_(_t(np.asarray(state["tail"]["dense"]["u"])))
 
 
 @torch.no_grad()

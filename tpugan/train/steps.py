@@ -70,7 +70,7 @@ def build_train_step(cfg: Config, g: Module, d: Module
 
     # ---- D loss -----------------------------------------------------------
     def d_loss(params_d, state_d, params_g, state_g, x_real, y_real, z,
-               y_fake, k_gp):
+               y_fake, k_gp, gp_alpha=None):
         fake, state_g = g_forward(params_g, state_g, z, y_fake)
         fake = lax.stop_gradient(fake)  # reference: fake.detach() in D step
         real_logits, state_d = d_forward(params_d, state_d, x_real, y_real)
@@ -87,7 +87,8 @@ def build_train_step(cfg: Config, g: Module, d: Module
                                       train=False)
                 return logits
 
-            gp = gradient_penalty(d_score, x_real, fake, k_gp)
+            gp = gradient_penalty(d_score, x_real, fake, k_gp,
+                                  alpha=gp_alpha)
             loss = loss + lambda_gp * gp
         metrics = {
             "loss_d": loss,
@@ -155,7 +156,7 @@ def build_train_step(cfg: Config, g: Module, d: Module
                     if conditional else None)
         grads, (state_d, state_g, metrics) = d_grad(
             state.params_d, state.state_d, state.params_g, state.state_g,
-            x_real, y_real, z_d, y_fake_d, k_gp)
+            x_real, y_real, z_d, y_fake_d, k_gp, batch.get("gp_alpha"))
         updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
         params_d = jax.tree.map(jnp.add, state.params_d, updates)
         if clip is not None:

@@ -38,7 +38,14 @@ class Trainer:
         self.cfg = cfg
         # NOTE: train.kernels affects SAMPLING/EVAL only (the Pallas kernels
         # have no autodiff rules — the differentiated train step always uses
-        # the XLA conv path; see DESIGN.md §4).
+        # the XLA conv path; see DESIGN.md §4).  train.fuse_stats is the one
+        # train-path Pallas fusion (conv+BN-stats, custom_vjp); single-chip
+        # only — under DP the BN stats must reduce cross-replica, which the
+        # unfused jnp.mean path gets from XLA for free.
+        from tpugan import ops
+
+        ops.set_fuse_stats("off" if (mesh is not None and len(mesh.devices.flat) > 1)
+                           else cfg.train.fuse_stats)
         self.g, self.d = build_models(cfg.model, cfg.train.precision)
         self.state: TrainState = create_train_state(cfg, self.g, self.d)
         self.step_fn = build_train_step(cfg, self.g, self.d)
