@@ -1,0 +1,225 @@
+"""Spatial (H/W) sharding end-to-end: halo primitives, ops dispatch via
+spatial_ctx, full models, and the sharded train step on the fake-8-device
+CPU mesh.  SURVEY §2b's SP analog (no sequence dimension in image GANs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tpugan.ops.convs import conv2d, conv_transpose2d
+from tpugan.parallel.spatial import (
+    shard_spatial,
+    spatial_conv2d,
+    spatial_conv_transpose2d,
+    spatial_ctx,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("space",))
+
+
+@pytest.mark.parametrize("dim", [1, 2])
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_spatial_conv_matches_dense(rng, dim, n_shards):
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 8, 16)) * 0.1, jnp.float32)
+    ref = conv2d(x, w, stride=2, padding=1, impl="xla")
+    mesh = _mesh(n_shards)
+    got = spatial_conv2d(shard_spatial(x, mesh, dim=dim), w, mesh, dim=dim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    sizes = {s.data.shape[dim] for s in got.addressable_shards}
+    assert sizes == {16 // 2 // n_shards}
+
+
+@pytest.mark.parametrize("dim", [1, 2])
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_spatial_convt_matches_dense(rng, dim, n_shards):
+    """ConvT halo incl. the Hs=1 edge case (extent 8 over 8 shards)."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 8, 4)) * 0.1, jnp.float32)
+    ref = conv_transpose2d(x, w, stride=2, padding=1, impl="xla")
+    mesh = _mesh(n_shards)
+    got = spatial_conv_transpose2d(shard_spatial(x, mesh, dim=dim), w, mesh,
+                                   dim=dim)
+    assert got.shape == ref.shape == (2, 16, 16, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dim", [1, 2])
+def test_spatial_convt_grads_match_dense(rng, dim):
+    """The hand-written ConvT VJP (halo-conv dx, einsum+psum dw) equals
+    autodiff of the dense transpose conv."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 8, 4)) * 0.1, jnp.float32)
+    mesh = _mesh(4)
+
+    def dense(x, w):
+        return jnp.sum(jnp.tanh(
+            conv_transpose2d(x, w, stride=2, padding=1, impl="xla")))
+
+    def sharded(x, w):
+        return jnp.sum(jnp.tanh(
+            spatial_conv_transpose2d(x, w, mesh, dim=dim)))
+
+    gx0, gw0 = jax.grad(dense, argnums=(0, 1))(x, w)
+    gx1, gw1 = jax.grad(sharded, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ctx_dispatch_and_fallback(rng):
+    """Inside spatial_ctx, qualifying convs shard; non-divisible or
+    too-small extents fall back to the dense path (same numbers)."""
+    mesh = _mesh(4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    small = jnp.asarray(rng.standard_normal((2, 4, 4, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 8, 8)) * 0.1, jnp.float32)
+    ref = conv2d(x, w, stride=2, padding=1)
+    ref_small = conv2d(small, w, stride=2, padding=1)
+    with spatial_ctx(mesh):
+        got = conv2d(x, w, stride=2, padding=1)
+        got_small = conv2d(small, w, stride=2, padding=1)  # 4 < 2*4 → dense
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_small), np.asarray(ref_small),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _models(image_size, rng_seed=0):
+    from tpugan.configs import get_preset
+    from tpugan.models import build_models
+
+    cfg = get_preset("dcgan_cifar10").override({
+        "model.image_size": image_size, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "data.batch_size": 4, "train.precision": "fp32",
+        "data.dataset": "synthetic",
+    })
+    g, d = build_models(cfg.model, cfg.train.precision)
+    return cfg, g, d
+
+
+def test_generator_256_spatial_matches_dense(rng):
+    """Full 256px Generator forward, spatially sharded == dense."""
+    cfg, g, d = _models(256)
+    params, state = g.init(jax.random.PRNGKey(0))
+    z = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+
+    ref, _ = jax.jit(lambda p, s, z: g.apply(p, s, z, train=True))(
+        params, state, z)
+    mesh = _mesh(8)
+    with spatial_ctx(mesh):
+        got, _ = jax.jit(lambda p, s, z: g.apply(p, s, z, train=True))(
+            params, state, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_discriminator_256_spatial_matches_dense(rng):
+    cfg, g, d = _models(256)
+    params, state = d.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(rng.standard_normal((2, 256, 256, 3)), jnp.float32)
+
+    ref, _ = jax.jit(lambda p, s, x: d.apply(p, s, x, train=True))(
+        params, state, x)
+    mesh = _mesh(8)
+    with spatial_ctx(mesh):
+        xs = shard_spatial(x, mesh)
+        got, _ = jax.jit(lambda p, s, x: d.apply(p, s, x, train=True))(
+            params, state, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_spatial_train_step_matches_dense(rng):
+    """Two full alternating train steps at 64px, 4-way H-sharded == dense."""
+    from tpugan.train import build_train_step, create_train_state
+
+    cfg, g, d = _models(64)
+    batches = [{
+        "image": jnp.asarray(rng.integers(0, 256, size=(4, 64, 64, 3))
+                             .astype(np.uint8)),
+    } for _ in range(2)]
+
+    def run(spatial):
+        state = create_train_state(cfg, g, d)
+        step = build_train_step(cfg, g, d)
+        if spatial:
+            mesh = _mesh(4)
+            with spatial_ctx(mesh):
+                for b in batches:
+                    state, m = step(state, b)
+        else:
+            for b in batches:
+                state, m = step(state, b)
+        return state, m
+
+    s0, m0 = run(False)
+    s1, m1 = run(True)
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m0["loss_d"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(m1["loss_g"]), float(m0["loss_g"]),
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s0.params_g)),
+                    jax.tree.leaves(jax.device_get(s1.params_g))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_trainer_spatial_wiring(tmp_path):
+    """Trainer honors train.spatial_shards: full public-API run at 64px,
+    4-way H-sharded, produces finite losses and samples."""
+    import dataclasses
+
+    from tpugan.configs import get_preset
+    from tpugan.train import Trainer
+
+    cfg = get_preset("dcgan_256_spatial").override({
+        "model.image_size": 64, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "data.dataset": "synthetic", "data.batch_size": 4,
+        "data.synthetic_size": 16, "data.hflip": False,
+        "train.precision": "fp32", "train.total_steps": 2,
+        "train.log_every": 1, "train.sample_every": 2, "train.ckpt_every": 0,
+        "train.spatial_shards": 4,
+    })
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out")))
+    try:
+        t = Trainer(cfg)
+        assert t.spatial_mesh is not None
+        m = t.train()
+        assert np.isfinite(m["loss_d"]) and np.isfinite(m["loss_g"])
+    finally:
+        from tpugan.parallel.spatial import set_spatial_mesh
+
+        set_spatial_mesh(None)
+
+
+@pytest.mark.slow
+def test_spatial_256_training_smoke():
+    """A ≥256px config actually trains on the 8-device mesh (SURVEY §2b)."""
+    from tpugan.train import build_train_step, create_train_state
+
+    cfg, g, d = _models(256)
+    rng = np.random.default_rng(0)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    mesh = _mesh(8)
+    with spatial_ctx(mesh):
+        for i in range(3):
+            b = {"image": jnp.asarray(rng.integers(
+                0, 256, size=(4, 256, 256, 3)).astype(np.uint8))}
+            state, m = step(state, b)
+    assert np.isfinite(float(m["loss_d"]))
+    assert np.isfinite(float(m["loss_g"]))

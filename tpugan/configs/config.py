@@ -118,6 +118,10 @@ class TrainConfig:
     fuse_stats: str = "off"
     donate: bool = True  # donate train-state buffers into the jitted step
     mesh_shape: Optional[int] = None  # data-parallel devices (None = all)
+    # Spatial (H-axis) sharding over N devices for ≥256px feature maps
+    # (halo-exchange convs; parallel/spatial.py).  0 = off.  Mutually
+    # exclusive with data parallelism (pass mesh=None to the Trainer).
+    spatial_shards: int = 0
     resume: str = ""  # checkpoint path/dir to resume from
 
 
@@ -270,6 +274,16 @@ _PRESETS = {
     ),
     "cdcgan_celeba64": lambda: _celeba(64),
     "cdcgan_celeba128": lambda: _celeba(128),
+    # Post-parity scaling config (SURVEY §2b SP analog): 256px DCGAN with
+    # the feature maps spatially sharded over the mesh (halo-exchange convs,
+    # parallel/spatial.py) — train.spatial_shards picks the mesh size.
+    "dcgan_256_spatial": lambda: dataclasses.replace(
+        _celeba(256),
+        name="dcgan_256_spatial",
+        model=ModelConfig(arch="dcgan", image_size=256, channels=3, nz=100,
+                          ngf=32, ndf=32, g_batchnorm=True, d_batchnorm=True),
+        train=TrainConfig(total_steps=50_000, spatial_shards=8),
+    ),
 }
 
 

@@ -83,7 +83,7 @@ def spatial_conv2d(x, w, mesh: Mesh, *, axis: str = "space", dim: int = 1):
         xh = jnp.concatenate([up, xs, down], axis=dim)
         # sharded dim: halos replace the k4/s2/p1 padding (VALID here);
         # unsharded spatial dim keeps the standard p=1.
-        pad = [(0, 0), (1, 1)]
+        pad = [(1, 1), (1, 1)]
         pad[dim - 1] = (0, 0)
         return lax.conv_general_dilated(
             xh, wf, window_strides=(2, 2), padding=pad,
@@ -98,12 +98,23 @@ def spatial_conv_transpose2d(x, w, mesh: Mesh, *, axis: str = "space",
 
     w is HWIO unflipped (tpugan ConvTranspose layout); the flip happens in
     the input-dilated lowering, exactly as in ops.conv_transpose2d.
+
+    Differentiable via a hand-written VJP: XLA's transpose of the per-shard
+    input-dilated conv produces HLO that CHECK-crashes the CPU backend's
+    algebraic simplifier, and our halo conv is the better backward anyway
+    (dx is exactly a k4/s2/p1 halo conv of the cotangent with the io-swapped
+    kernel; dw is 16 strided einsums + psum).  First-order only, which is
+    all ConvT ever needs — the GP double-backward touches only D's convs.
     """
-    n = mesh.shape[axis]
-    if x.shape[dim] % n != 0:
+    if x.shape[dim] % mesh.shape[axis] != 0:
         raise ValueError(
             f"sharded dim {dim} extent {x.shape[dim]} must be divisible by "
-            f"n_shards={n}")
+            f"n_shards={mesh.shape[axis]}")
+    return _convt_vjp(mesh, axis, dim, x, w)
+
+
+def _convt_forward(x, w, mesh: Mesh, axis: str, dim: int):
+    n = mesh.shape[axis]
     in_spec, w_spec = _specs(dim, axis)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_spec, w_spec),
@@ -126,6 +137,66 @@ def spatial_conv_transpose2d(x, w, mesh: Mesh, *, axis: str = "space",
             lhs_dilation=(2, 2), dimension_numbers=DIMS)
 
     return convt_shard(x, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _convt_vjp(mesh, axis, dim, x, w):
+    return _convt_forward(x, w, mesh, axis, dim)
+
+
+def _convt_fwd(mesh, axis, dim, x, w):
+    return _convt_forward(x, w, mesh, axis, dim), (x, w)
+
+
+def _convt_bwd(mesh, axis, dim, res, g):
+    x, w = res
+    # dx[h] = Σ_{kh,o} w[kh,·,i,o]·g[2h+kh−1,·,o]: a k4/s2/p1 conv of the
+    # cotangent with in/out channels swapped, no spatial flip (verified
+    # against jax.vjp of the dense op).
+    dx = spatial_conv2d(g, jnp.swapaxes(w, 2, 3), mesh, axis=axis, dim=dim)
+
+    n = mesh.shape[axis]
+    in_spec, _ = _specs(dim, axis)
+    odim = 3 - dim  # the unsharded spatial dim
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(in_spec, in_spec), out_specs=P())
+    def dw_shard(xs, gs):
+        idx = lax.axis_index(axis)
+        # g rows needed for this shard's x rows h∈[h0, h0+Hs):
+        # 2h+kh−1 ∈ [2h0−1, 2h0+2Hs+1) — one halo row each way.
+        up, down = _halo(gs, axis, n, dim, idx)
+        gp = jnp.concatenate([up, gs, down], axis=dim)
+        pad = [(0, 0)] * 4
+        pad[odim] = (1, 1)  # unsharded dim keeps the standard p=1
+        gp = jnp.pad(gp, pad)
+        parts = []
+        for kh in range(4):
+            row = []
+            for kw in range(4):
+                # Kernel taps are fixed to axes — H always indexes with kh,
+                # W with kw; both axes slice k + 2·idx (the sharded dim via
+                # its halo offset, the unsharded via its p=1 pad — same
+                # local formula either way).  lax.slice is strict: the
+                # limit only covers the last strided element.
+                start = [0, kh, kw, 0]
+                strides = [1, 2, 2, 1]
+                limit = [gp.shape[0],
+                         kh + 2 * (xs.shape[1] - 1) + 1,
+                         kw + 2 * (xs.shape[2] - 1) + 1,
+                         gp.shape[3]]
+                gsl = lax.slice(gp, start, limit, strides)
+                row.append(jnp.einsum("nhwi,nhwo->io",
+                                      xs.astype(jnp.float32),
+                                      gsl.astype(jnp.float32)))
+            parts.append(jnp.stack(row))
+        dw = jnp.stack(parts)  # (4, 4, Ci, Co), this shard's partial
+        return lax.psum(dw, axis)
+
+    return dx, dw_shard(x, g).astype(w.dtype)
+
+
+_convt_vjp.defvjp(_convt_fwd, _convt_bwd)
 
 
 def shard_spatial(x, mesh: Mesh, axis: str = "space", dim: int = 1):
@@ -170,6 +241,14 @@ class spatial_ctx:
 
     def __exit__(self, *exc):
         _CTX.mesh, _CTX.axis, _CTX.dim, _CTX.min_extent = self.prev
+
+
+def set_spatial_mesh(mesh: Optional[Mesh], *, axis: str = "space",
+                     dim: int = 1, min_extent: int = 0) -> None:
+    """Non-contextual form of spatial_ctx (the Trainer holds it for a whole
+    run); pass None to disable."""
+    _CTX.mesh, _CTX.axis, _CTX.dim, _CTX.min_extent = (
+        mesh, axis, dim, min_extent)
 
 
 def spatial_active() -> bool:

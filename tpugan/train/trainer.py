@@ -56,6 +56,19 @@ class Trainer:
 
             self.state = shard_train_state(self.state, mesh)
             self.batch_sharding = batch_sharding(mesh)
+        # Spatial (H-axis) sharding for ≥256px maps: hold the trace-time
+        # context for the whole run; the ops seam routes qualifying convs
+        # to the halo primitives (parallel/spatial.py).
+        self.spatial_mesh = None
+        if cfg.train.spatial_shards > 0 and mesh is None:
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            from tpugan.parallel.spatial import set_spatial_mesh
+
+            devs = jax.devices()[:cfg.train.spatial_shards]
+            self.spatial_mesh = Mesh(_np.array(devs), ("space",))
+            set_spatial_mesh(self.spatial_mesh)
         self._data = data  # injected dataset (tests); else loaded lazily
         self.logger: Optional[MetricsLogger] = None
 
@@ -104,15 +117,28 @@ class Trainer:
 
         data = self._dataset()
         k_steps = max(cfg.train.steps_per_call, 1)
+        spatial_sh = None
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # image batches sharded on H over the spatial mesh
+            spatial_sh = NamedSharding(self.spatial_mesh,
+                                       P(None, "space", None, None))
         if cfg.data.device_resident:
             import itertools
 
-            dev_batch = {"dataset_images": jax.device_put(data["images"])}
+            dev_batch = {"dataset_images": jax.device_put(
+                data["images"], spatial_sh)}
             if cfg.model.arch == "cdcgan":
                 dev_batch["dataset_labels"] = jax.device_put(data["labels"])
             pipeline = itertools.repeat(dev_batch)
         else:
-            sharding = self.batch_sharding
+            # the pipeline applies one sharding to every batch entry, so
+            # spatial only when unstacked and label-free (otherwise jit
+            # reshards at the step boundary — same numbers)
+            sharding = self.batch_sharding or (
+                spatial_sh if k_steps == 1 and cfg.model.arch != "cdcgan"
+                else None)
             if k_steps > 1 and self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
