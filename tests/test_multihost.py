@@ -1,0 +1,88 @@
+"""Real 2-process jax.distributed execution on CPU (SURVEY §2b distributed
+row): two OS processes bootstrap through initialize_multihost with a
+localhost coordinator, form one global mesh, and run a psum whose result
+proves cross-process reduction.  Skipped if the sandbox forbids sockets."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpugan.parallel.multihost import initialize_multihost, local_batch_slice
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+idx = initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+assert idx == pid, (idx, pid)
+assert jax.process_count() == nproc, jax.process_count()
+
+devs = jax.devices()  # global device list across both processes
+assert len(devs) == nproc * 2, devs  # 2 local CPU devices per process
+mesh = Mesh(np.array(devs), ("data",))
+
+# global array: each process contributes its local shard; psum over the
+# mesh must see BOTH processes' values.
+global_batch = nproc * 2
+sl = local_batch_slice(global_batch)
+assert sl == slice(pid * 2, pid * 2 + 2), sl
+vals = np.arange(global_batch, dtype=np.float32)  # 0..3, sum = 6
+
+local = vals[sl]
+arrs = [jax.device_put(local[i:i+1], d) for i, d in enumerate(jax.local_devices())]
+garr = jax.make_array_from_single_device_arrays(
+    (global_batch,), NamedSharding(mesh, P("data")), arrs)
+
+@jax.jit
+def total(x):
+    return jnp.sum(x)
+
+out = jax.jit(total, out_shardings=NamedSharding(mesh, P()))(garr)
+got = float(out.addressable_shards[0].data[()])  # replicated result
+assert got == float(vals.sum()), (got, vals.sum())
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_distributed_psum(tmp_path):
+    # pick a free localhost port; skip if sockets are unavailable
+    try:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+    except OSError:
+        pytest.skip("sandbox forbids sockets")
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out")
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+        assert f"WORKER{pid}_OK" in out, out[-2000:]

@@ -81,6 +81,12 @@ class DataConfig:
     # per-batch transfer entirely (MNIST/CIFAR ~50-150MB; CelebA-64 ~2.5GB).
     # Sampling is uniform-with-replacement rather than epoch permutations.
     device_resident: bool = False
+    # Larger-than-RAM folder datasets: "auto" streams (per-batch threaded
+    # decode, host memory bounded by prefetch×batch) when the decoded set
+    # would exceed max_ram_mb; "on"/"off" force.  Streaming excludes
+    # device_resident (the dataset can't live in HBM either).
+    streaming: str = "auto"
+    max_ram_mb: int = 4096
     # synthetic dataset controls (deterministic, for offline dev/test)
     synthetic_size: int = 10_000
 

@@ -34,13 +34,20 @@ DATASETS = ("mnist", "cifar10", "celeba", "synthetic")
 
 def load_dataset(name: str, data_dir: str, *, image_size: int,
                  channels: int, synthetic_size: int = 10_000,
-                 seed: int = 0, n_classes: int = 0) -> Dict[str, np.ndarray]:
+                 seed: int = 0, n_classes: int = 0,
+                 streaming: str = "auto",
+                 max_ram_mb: int = 4096) -> Dict[str, np.ndarray]:
+    """``streaming`` ("on" | "off" | "auto") selects the larger-than-RAM
+    path for folder datasets: "auto" streams when the decoded dataset would
+    exceed ``max_ram_mb``.  Streaming datasets appear in the returned dict
+    as a ``StreamingImageFolder`` (array-like: len / slice / gather)."""
     if name == "mnist":
         return _load_mnist(data_dir)
     if name == "cifar10":
         return _load_cifar10(data_dir)
     if name == "celeba":
-        return _load_celeba(data_dir, image_size)
+        return _load_celeba(data_dir, image_size, streaming=streaming,
+                            max_ram_mb=max_ram_mb)
     if name == "synthetic":
         return make_synthetic(image_size, channels, synthetic_size,
                               seed=seed, n_classes=n_classes)
@@ -112,9 +119,76 @@ def _load_cifar10(data_dir: str) -> Dict[str, np.ndarray]:
 # CelebA (image folder)
 # ---------------------------------------------------------------------------
 
-def _load_celeba(data_dir: str, image_size: int) -> Dict[str, np.ndarray]:
+def _decode_one(path: str, image_size: int) -> np.ndarray:
+    """Center-crop to square + bilinear resize (reference transform chain)."""
     from PIL import Image
 
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        side = min(w, h)
+        left, top = (w - side) // 2, (h - side) // 2
+        im = im.crop((left, top, left + side, top + side))
+        im = im.resize((image_size, image_size), Image.BILINEAR)
+        return np.asarray(im)
+
+
+class StreamingImageFolder:
+    """Larger-than-RAM image folder with DataLoader semantics.
+
+    The reference's DataLoader decodes per batch in worker processes; this
+    is the TPU-host equivalent: random-access decode via a thread pool (PIL
+    releases the GIL in jpeg decode), with host memory bounded by the
+    batches in flight (pipeline prefetch × batch nbytes) — never a
+    full-dataset buffer.  Array-like surface: ``len()``, ``gather(idx)``,
+    int/slice/fancy ``[]`` — everything the input pipeline and the eval
+    real-set slice use.
+    """
+
+    def __init__(self, root: str, files, image_size: int, workers: int = 8):
+        self.root, self.files = root, list(files)
+        self.image_size = int(image_size)
+        self.workers = workers
+        self.shape = (len(self.files), self.image_size, self.image_size, 3)
+        self.dtype = np.dtype(np.uint8)
+        self._pool = None
+        self.decoded_count = 0  # test/observability hook
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.workers)
+        return self._pool
+
+    def gather(self, idx) -> np.ndarray:
+        idx = np.asarray(idx).reshape(-1)
+        out = np.empty((len(idx), self.image_size, self.image_size, 3),
+                       np.uint8)
+        pool = self._ensure_pool()
+
+        def work(j_i):
+            j, i = j_i
+            out[j] = _decode_one(os.path.join(self.root, self.files[int(i)]),
+                                 self.image_size)
+
+        list(pool.map(work, enumerate(idx)))
+        self.decoded_count += len(idx)
+        return out
+
+    def __getitem__(self, key):
+        if isinstance(key, (int, np.integer)):
+            return self.gather([key])[0]
+        if isinstance(key, slice):
+            return self.gather(np.arange(len(self))[key])
+        return self.gather(key)
+
+
+def _load_celeba(data_dir: str, image_size: int, *, streaming: str = "auto",
+                 max_ram_mb: int = 4096) -> Dict[str, np.ndarray]:
     for root in (os.path.join(data_dir, "celeba", "img_align_celeba"),
                  os.path.join(data_dir, "img_align_celeba"), data_dir):
         if os.path.isdir(root):
@@ -128,17 +202,15 @@ def _load_celeba(data_dir: str, image_size: int) -> Dict[str, np.ndarray]:
     if not files:
         raise FileNotFoundError(f"CelebA images not found under {data_dir!r}")
 
+    labels = _load_celeba_attrs(data_dir, files)
+    decoded_mb = len(files) * image_size * image_size * 3 / 2**20
+    if streaming == "on" or (streaming == "auto" and decoded_mb > max_ram_mb):
+        return {"images": StreamingImageFolder(root, files, image_size),
+                "labels": labels}
+
     imgs = np.empty((len(files), image_size, image_size, 3), np.uint8)
     for i, fname in enumerate(files):
-        with Image.open(os.path.join(root, fname)) as im:
-            im = im.convert("RGB")
-            w, h = im.size
-            side = min(w, h)
-            left, top = (w - side) // 2, (h - side) // 2
-            im = im.crop((left, top, left + side, top + side))
-            im = im.resize((image_size, image_size), Image.BILINEAR)
-            imgs[i] = np.asarray(im)
-    labels = _load_celeba_attrs(data_dir, files)
+        imgs[i] = _decode_one(os.path.join(root, fname), image_size)
     return {"images": imgs, "labels": labels}
 
 

@@ -58,9 +58,14 @@ class make_input_pipeline:
                 np.random.SeedSequence([self.seed, epoch])).permutation(n)
             for s in range(self.steps_per_epoch):
                 idx = order[s * self.batch_size:(s + 1) * self.batch_size]
-                # native C++ threaded gather (2-3x numpy fancy indexing);
-                # falls back to numpy automatically when the lib is absent
-                batch = {"image": native.batch_gather(self.images, idx)}
+                if hasattr(self.images, "gather"):
+                    # streaming dataset (larger-than-RAM folder): decode
+                    # this batch's files now, in its thread pool
+                    batch = {"image": self.images.gather(idx)}
+                else:
+                    # native C++ threaded gather (2-3x numpy fancy
+                    # indexing); numpy fallback when the lib is absent
+                    batch = {"image": native.batch_gather(self.images, idx)}
                 if self.labels is not None:
                     batch["label"] = self.labels[idx]
                 yield batch

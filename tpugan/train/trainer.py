@@ -80,7 +80,8 @@ class Trainer:
                 c.data.dataset, c.data.data_dir,
                 image_size=c.model.image_size, channels=c.model.channels,
                 synthetic_size=c.data.synthetic_size, seed=c.train.seed,
-                n_classes=c.model.n_classes)
+                n_classes=c.model.n_classes, streaming=c.data.streaming,
+                max_ram_mb=c.data.max_ram_mb)
         return self._data
 
     def _gen_params(self):
@@ -124,6 +125,12 @@ class Trainer:
             # image batches sharded on H over the spatial mesh
             spatial_sh = NamedSharding(self.spatial_mesh,
                                        P(None, "space", None, None))
+        if cfg.data.device_resident and hasattr(data["images"], "gather"):
+            raise ValueError(
+                "data.device_resident requires the decoded dataset in "
+                "memory; this dataset is streaming (larger than "
+                f"data.max_ram_mb={cfg.data.max_ram_mb}) — set "
+                "data.streaming='off' or drop device_resident")
         if cfg.data.device_resident:
             import itertools
 
