@@ -136,23 +136,31 @@ def bench_tpugan(image_size: int, batch: int, steps: int,
 
         return run
 
-    k_lo, k_hi = max(2, steps // 5), steps
-    run_lo, run_hi = gen_chain(k_lo), gen_chain(k_hi)
+    # Per-iteration time = least-squares slope over three chain lengths
+    # with min-of-N per length.  (Round 1 used a two-point subtraction;
+    # round-2 probes showed occasional 2x relay flukes that a two-point
+    # estimate inherits — the multi-k fit is outlier-resistant and still
+    # cancels the fixed dispatch/relay overhead in the slope.)
+    import numpy as np
+
+    ks = sorted({max(2, steps // 5), max(3, steps // 2), steps})
+    runs = {k: gen_chain(k) for k in ks}
     key = jax.random.PRNGKey(0)
     a = state.params_g, state.state_g, key
-    for _ in range(warmup):  # compile + warm both
-        float(run_lo(*a)), float(run_hi(*a))
+    for _ in range(warmup):  # compile + warm all
+        for k in ks:
+            float(runs[k](*a))
 
     def timed(fn):
         t0 = time.perf_counter()
         float(fn(*a))  # scalar fetch = true completion barrier
         return time.perf_counter() - t0
 
-    t_lo = min(timed(run_lo) for _ in range(3))
-    t_hi = min(timed(run_hi) for _ in range(3))
-    per_iter = (t_hi - t_lo) / (k_hi - k_lo)
+    times = [min(timed(runs[k]) for _ in range(5)) for k in ks]
+    per_iter = float(np.polyfit(np.array(ks, np.float64),
+                                np.array(times), 1)[0])
     if per_iter <= 0:
-        raise RuntimeError(f"non-monotonic timing: {t_lo=} {t_hi=}")
+        raise RuntimeError(f"non-monotonic timing: {dict(zip(ks, times))}")
     return batch / per_iter
 
 
