@@ -61,17 +61,20 @@ def bench_preset(name: str, batch: int, k: int = 20,
             return jnp.sum(losses)
         return run
 
-    lo, hi = max(2, k // 5), k
-    run_lo, run_hi = chain(lo), chain(hi)
-    float(run_lo(state)); float(run_hi(state))  # compile+warm
+    # least-squares slope over three chain lengths (outlier-resistant vs
+    # the two-point method — this relay shows occasional 2x flukes)
+    ks = sorted({max(2, k // 5), max(3, k // 2), k})
+    runs = {n_: chain(n_) for n_ in ks}
+    for n_ in ks:  # compile+warm
+        float(runs[n_](state))
 
     def timed(fn):
         t0 = time.perf_counter()
         float(fn(state))
         return time.perf_counter() - t0
-    t_lo = min(timed(run_lo) for _ in range(3))
-    t_hi = min(timed(run_hi) for _ in range(3))
-    per_step = (t_hi - t_lo) / (hi - lo)
+    times = [min(timed(runs[n_]) for _ in range(5)) for n_ in ks]
+    per_step = float(np.polyfit(np.array(ks, np.float64),
+                                np.array(times), 1)[0])
     return {"preset": name, "batch": batch, "fuse_stats": fuse_stats,
             "images_per_sec": batch / per_step,
             "ms_per_step": per_step * 1e3}

@@ -251,6 +251,22 @@ def test_sngan_trajectory_matches_torch():
     assert f["rel_delta"] < 5e-3
 
 
+def test_cdcgan_trajectory_matches_torch():
+    """Conditional DCGAN (label embedding in G and D) tracks the torch twin
+    over 30 steps with identical init/data/noise/fake-label streams —
+    closes trajectory parity for ALL reference configs."""
+    from tpugan.parity.runners import run_convergence_parity
+
+    r = run_convergence_parity(
+        "cdcgan_celeba64", 30, batch_size=16, width=16, nz=16, fid_n=64,
+        overrides={"model.image_size": 32})
+    lj, lt = r["losses_tpugan"], r["losses_torch"]
+    np.testing.assert_allclose(lj[:, 0], lt[:, 0], rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(lj[:, 1], lt[:, 1], rtol=5e-3, atol=5e-4)
+    # 30 G updates of fp32 chaos drift (vs 6 for n_critic=5 variants)
+    assert r["final"]["pixel_mae"] < 2e-2
+
+
 def test_sn_sigma_matches_torch_builtin(rng):
     """Semantics vs the reference's actual builtin: after power-iteration
     convergence, tpugan's σ equals torch.nn.utils.spectral_norm's σ (both

@@ -20,7 +20,7 @@ BASELINE.md).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -57,15 +57,22 @@ def make_streams(cfg: Config, steps: int, seed: int = 0
 
     rng = np.random.default_rng(seed)
     n, bsz, nz = len(imgs), cfg.data.batch_size, cfg.model.nz
+    conditional = cfg.model.arch == "cdcgan"
+    k = max(cfg.model.n_classes, 1)
     streams = []
     for _ in range(steps):
         idx = rng.integers(0, n, bsz)
-        streams.append({
+        s = {
             "x": imgs[idx],
             "z_d": rng.standard_normal((bsz, nz)).astype(np.float32),
             "z_g": rng.standard_normal((bsz, nz)).astype(np.float32),
             "alpha": rng.random((bsz, 1, 1, 1)).astype(np.float32),
-        })
+        }
+        if conditional:
+            s["y"] = data["labels"][idx].astype(np.int32)
+            s["y_fake_d"] = rng.integers(0, k, bsz).astype(np.int32)
+            s["y_fake_g"] = rng.integers(0, k, bsz).astype(np.int32)
+        streams.append(s)
     return streams, imgs
 
 
@@ -86,6 +93,10 @@ def run_tpugan(cfg: Config, g, d, streams) -> Tuple[object, np.ndarray]:
                  "z_g": jnp.asarray(s["z_g"])}
         if gp:
             batch["gp_alpha"] = jnp.asarray(s["alpha"])
+        if "y" in s:
+            batch["label"] = jnp.asarray(s["y"])
+            batch["y_fake_d"] = jnp.asarray(s["y_fake_d"])
+            batch["y_fake_g"] = jnp.asarray(s["y_fake_g"])
         state, m = step(state, batch)
         losses.append((float(m["loss_d"]), float(m["loss_g"])))
     return state, np.asarray(losses)
@@ -132,22 +143,36 @@ def build_torch_twins(cfg: Config, state):
     import jax
 
     from tpugan.parity.torch_twin import (
+        TorchCondDiscriminator,
+        TorchCondGenerator,
         TorchDiscriminator,
         TorchGenerator,
+        transplant_cond_d,
+        transplant_cond_g,
         transplant_d,
         transplant_g,
     )
 
     m = cfg.model
+    pg, sg = jax.device_get(state.params_g), jax.device_get(state.state_g)
+    pd, sd = jax.device_get(state.params_d), jax.device_get(state.state_d)
+    if m.arch == "cdcgan":
+        tg = TorchCondGenerator(m.image_size, m.channels, m.nz, m.ngf,
+                                m.n_classes, m.embed_dim,
+                                batchnorm=m.g_batchnorm)
+        td = TorchCondDiscriminator(m.image_size, m.channels, m.ndf,
+                                    m.n_classes, m.embed_dim,
+                                    batchnorm=m.d_batchnorm)
+        transplant_cond_g(pg, sg, tg)
+        transplant_cond_d(pd, sd, td)
+        return tg, td
     tg = TorchGenerator(m.image_size, m.channels, m.nz, m.ngf,
                         batchnorm=m.g_batchnorm)
     td = TorchDiscriminator(m.image_size, m.channels, m.ndf,
                             batchnorm=m.d_batchnorm,
                             spectral_norm=m.d_spectral_norm)
-    transplant_g(jax.device_get(state.params_g),
-                 jax.device_get(state.state_g), tg)
-    transplant_d(jax.device_get(state.params_d),
-                 jax.device_get(state.state_d), td)
+    transplant_g(pg, sg, tg)
+    transplant_d(pd, sd, td)
     return tg, td
 
 
@@ -182,12 +207,19 @@ def run_torch(cfg: Config, tg, td, streams) -> np.ndarray:
         x = torch.from_numpy(s["x"].transpose(0, 3, 1, 2))
         z_d = torch.from_numpy(s["z_d"])
         z_g = torch.from_numpy(s["z_g"])
+        cond = "y" in s
+        if cond:
+            y = torch.from_numpy(s["y"]).long()
+            yfd = torch.from_numpy(s["y_fake_d"]).long()
+            yfg = torch.from_numpy(s["y_fake_g"]).long()
 
         # --- D step (every iteration) ---
         opt_d.zero_grad()
-        fake = tg(z_d).detach()       # G train-mode forward (BN stats move)
-        out_real = td(x)              # then real, then fake — u ordering
-        out_fake = td(fake)
+        # G train-mode forward (BN stats move); then real, then fake (the
+        # SN u-update ordering the tpugan step uses)
+        fake = (tg(z_d, yfd) if cond else tg(z_d)).detach()
+        out_real = td(x, y) if cond else td(x)
+        out_fake = td(fake, yfd) if cond else td(fake)
         loss_d = _torch_d_loss(kind, out_real, out_fake, torch)
         if kind == "wgan_gp":
             loss_d = loss_d + lambda_gp * _torch_gp(td, x, fake,
@@ -203,7 +235,8 @@ def run_torch(cfg: Config, tg, td, streams) -> np.ndarray:
         loss_g_val = 0.0
         if (t % n_critic) == (n_critic - 1):
             opt_g.zero_grad()
-            out_g = td(tg(z_g))
+            out_g = (td(tg(z_g, yfg), yfg) if cond
+                     else td(tg(z_g)))
             loss_g = _torch_g_loss(kind, out_g, torch)
             loss_g.backward()
             opt_g.step()
@@ -225,14 +258,25 @@ def compare_final_generators(cfg: Config, g, state, tg, real_images,
 
     rng = np.random.default_rng(seed)
     z = rng.standard_normal((n, cfg.model.nz)).astype(np.float32)
+    conditional = cfg.model.arch == "cdcgan"
 
-    fake_j, _ = g.apply(state.params_g, state.state_g, jnp.asarray(z),
-                        train=False)
+    if conditional:
+        y = rng.integers(0, max(cfg.model.n_classes, 1), n).astype(np.int32)
+        fake_j, _ = g.apply(state.params_g, state.state_g,
+                            (jnp.asarray(z), jnp.asarray(y)), train=False)
+    else:
+        fake_j, _ = g.apply(state.params_g, state.state_g, jnp.asarray(z),
+                            train=False)
     fake_j = np.asarray(fake_j, np.float32)
 
     tg.eval()
     with torch.no_grad():
-        fake_t = tg(torch.from_numpy(z)).numpy().transpose(0, 2, 3, 1)
+        if conditional:
+            fake_t = tg(torch.from_numpy(z),
+                        torch.from_numpy(y).long())
+        else:
+            fake_t = tg(torch.from_numpy(z))
+        fake_t = fake_t.numpy().transpose(0, 2, 3, 1)
 
     ex = make_extractor(cfg.model.channels, "proxy")
     feat_real, _ = ex(real_images[:max(n, 256)])
@@ -300,7 +344,9 @@ def run_seed_noise_floor(preset: str, steps: int, *, batch_size: int = 32,
 
 def run_convergence_parity(preset: str, steps: int, *, batch_size: int = 32,
                            width: int = 32, nz: int = 32, fid_n: int = 512,
-                           stream_seed: int = 0) -> Dict[str, object]:
+                           stream_seed: int = 0,
+                           overrides: Optional[Dict[str, object]] = None
+                           ) -> Dict[str, object]:
     """End-to-end: build both frameworks from one init, train both on the
     same streams, return trajectories + final-generator comparison."""
     from tpugan.configs import get_preset
@@ -308,6 +354,8 @@ def run_convergence_parity(preset: str, steps: int, *, batch_size: int = 32,
 
     cfg = parity_cfg(get_preset(preset), batch_size=batch_size, width=width,
                      nz=nz)
+    if overrides:
+        cfg = cfg.override(overrides)
     g, d = build_models(cfg.model, cfg.train.precision)
     streams, real = make_streams(cfg, steps, seed=stream_seed)
 

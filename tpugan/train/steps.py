@@ -152,8 +152,10 @@ def build_train_step(cfg: Config, g: Module, d: Module
         z_d = batch.get("z_d")
         if z_d is None:
             z_d = jax.random.normal(k_zd, (bsz, nz), jnp.float32)
-        y_fake_d = (jax.random.randint(k_yd, (bsz,), 0, n_classes)
-                    if conditional else None)
+        y_fake_d = batch.get("y_fake_d")
+        if y_fake_d is None:
+            y_fake_d = (jax.random.randint(k_yd, (bsz,), 0, n_classes)
+                        if conditional else None)
         grads, (state_d, state_g, metrics) = d_grad(
             state.params_d, state.state_d, state.params_g, state.state_g,
             x_real, y_real, z_d, y_fake_d, k_gp, batch.get("gp_alpha"))
@@ -168,8 +170,10 @@ def build_train_step(cfg: Config, g: Module, d: Module
         z_g = batch.get("z_g")
         if z_g is None:
             z_g = jax.random.normal(k_zg, (bsz, nz), jnp.float32)
-        y_fake_g = (jax.random.randint(k_yg, (bsz,), 0, n_classes)
-                    if conditional else None)
+        y_fake_g = batch.get("y_fake_g")
+        if y_fake_g is None:
+            y_fake_g = (jax.random.randint(k_yg, (bsz,), 0, n_classes)
+                        if conditional else None)
 
         def do_g_with_loss(args):
             params_g, opt_g, state_g, state_d, ema = args
