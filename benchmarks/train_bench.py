@@ -24,7 +24,7 @@ def log(*a):
 
 
 def bench_preset(name: str, batch: int, k: int = 20,
-                 fuse_stats: str = "off") -> dict:
+                 fuse_stats: str = "off", fused_prop: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -36,6 +36,8 @@ def bench_preset(name: str, batch: int, k: int = 20,
 
     ops.set_fuse_stats(fuse_stats)
     cfg = get_preset(name).override({"data.batch_size": batch})
+    if fused_prop:
+        cfg = cfg.override({"train.fused_prop": True, "loss.n_critic": "1"})
     g, d = build_models(cfg.model, cfg.train.precision)
     # keep donation off: we re-enter with the same state object in timing
     cfg = cfg.override({"train.donate": False})
@@ -76,6 +78,7 @@ def bench_preset(name: str, batch: int, k: int = 20,
     per_step = float(np.polyfit(np.array(ks, np.float64),
                                 np.array(times), 1)[0])
     return {"preset": name, "batch": batch, "fuse_stats": fuse_stats,
+            "fused_prop": fused_prop,
             "images_per_sec": batch / per_step,
             "ms_per_step": per_step * 1e3}
 
@@ -90,13 +93,16 @@ def main():
     ap.add_argument("--fuse-stats", default="off",
                     choices=("on", "off", "auto"),
                     help="train-path conv+BN-stats Pallas fusion")
+    ap.add_argument("--fused-prop", action="store_true",
+                    help="FusedProp shared-forward training mode")
     args = ap.parse_args()
 
     results = []
     for name in args.presets.split(","):
         try:
             r = bench_preset(name.strip(), args.batch, args.steps,
-                             fuse_stats=args.fuse_stats)
+                             fuse_stats=args.fuse_stats,
+                             fused_prop=args.fused_prop)
             log(f"{r['preset']}: {r['images_per_sec']:.0f} img/s "
                 f"({r['ms_per_step']:.2f} ms/step)")
             results.append(r)

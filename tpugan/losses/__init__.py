@@ -1,6 +1,8 @@
 from tpugan.losses.adversarial import (  # noqa: F401
-    d_loss_fn,
-    g_loss_fn,
     LOSS_KINDS,
+    d_loss_fake_fn,
+    d_loss_fn,
+    d_loss_real_fn,
+    g_loss_fn,
 )
 from tpugan.losses.gradient_penalty import gradient_penalty  # noqa: F401

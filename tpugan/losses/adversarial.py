@@ -43,22 +43,39 @@ def _bce_with_target(logits, target: float):
                     + (1.0 - target) * jax.nn.softplus(logits))
 
 
+def d_loss_real_fn(kind: str, real_logits, *, real_label: float = 1.0):
+    """The real-batch term of the D/critic loss (every kind separates)."""
+    r = _f32(real_logits)
+    if kind == "bce":
+        return _bce_with_target(r, real_label)
+    if kind == "lsgan":
+        return 0.5 * jnp.mean(jnp.square(r - real_label))
+    if kind in ("wgan", "wgan_gp"):
+        return -jnp.mean(r)
+    if kind == "hinge":
+        return jnp.mean(jax.nn.relu(1.0 - r))
+    raise ValueError(f"unknown loss kind {kind!r}")
+
+
+def d_loss_fake_fn(kind: str, fake_logits, *, fake_label: float = 0.0):
+    """The fake-batch term of the D/critic loss."""
+    f = _f32(fake_logits)
+    if kind == "bce":
+        return _bce_with_target(f, fake_label)
+    if kind == "lsgan":
+        return 0.5 * jnp.mean(jnp.square(f - fake_label))
+    if kind in ("wgan", "wgan_gp"):
+        return jnp.mean(f)
+    if kind == "hinge":
+        return jnp.mean(jax.nn.relu(1.0 + f))
+    raise ValueError(f"unknown loss kind {kind!r}")
+
+
 def d_loss_fn(kind: str, real_logits, fake_logits, *,
               real_label: float = 1.0, fake_label: float = 0.0):
     """Discriminator/critic loss (to minimize)."""
-    r, f = _f32(real_logits), _f32(fake_logits)
-    if kind == "bce":
-        return (_bce_with_target(r, real_label)
-                + _bce_with_target(f, fake_label))
-    if kind == "lsgan":
-        return 0.5 * (jnp.mean(jnp.square(r - real_label))
-                      + jnp.mean(jnp.square(f - fake_label)))
-    if kind in ("wgan", "wgan_gp"):
-        return jnp.mean(f) - jnp.mean(r)
-    if kind == "hinge":
-        return (jnp.mean(jax.nn.relu(1.0 - r))
-                + jnp.mean(jax.nn.relu(1.0 + f)))
-    raise ValueError(f"unknown loss kind {kind!r}")
+    return (d_loss_real_fn(kind, real_logits, real_label=real_label)
+            + d_loss_fake_fn(kind, fake_logits, fake_label=fake_label))
 
 
 def g_loss_fn(kind: str, fake_logits, *, real_label: float = 1.0):
