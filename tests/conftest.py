@@ -20,15 +20,31 @@ sitecustomize's TPU-relay dial entirely, e.g.
 import os
 import sys
 
-assert "jax" not in sys.modules, (
-    "conftest must run before jax is imported so the CPU/fake-device env "
-    "vars take effect")
-
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Blank the relay pool so python SUBPROCESSES spawned by tests (multihost,
+# dryrun-gate, streaming) skip the sitecustomize TPU-relay dial at
+# interpreter start — with the pool set, every child pays (or hangs on)
+# a PJRT plugin registration it will never use.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+if "jax" in sys.modules:
+    # Some container images pre-import jax from sitecustomize (the axon
+    # relay registers its PJRT plugin at interpreter start). That is fine
+    # as long as no backend has been *initialized* yet: platform selection
+    # and the fake-device count are read at client-creation time, and
+    # jax.config.update can still steer them.
+    from jax._src import xla_bridge as _xb
+
+    assert not _xb._backends, (
+        "conftest must run before any jax backend is initialized so the "
+        "CPU/fake-device settings take effect")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,183 @@
+"""Deployment path: jax.export artifacts + the micro-batching HTTP server.
+
+The exported artifact must reproduce the live Sampler's pixels per seed
+(the determinism contract survives export), accept any batch size via the
+symbolic batch dimension, and serve concurrent requests coalesced into
+padded device batches.
+"""
+
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from tpugan.configs import get_preset
+from tpugan.export import export_generator, load_generator, save_generator
+from tpugan.models import build_models
+from tpugan.sample import Sampler
+from tpugan.serve import BatchingEngine, make_server
+from tpugan.train import create_train_state
+
+TINY = {"model.ngf": 8, "model.ndf": 8, "model.nz": 16,
+        "train.precision": "fp32"}
+
+
+def _tiny_gen(preset="dcgan_mnist", extra=()):
+    cfg = get_preset(preset).override({**TINY, **dict(extra)})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    return cfg, g, state
+
+
+@pytest.fixture(scope="module")
+def unconditional():
+    cfg, g, state = _tiny_gen()
+    blob = export_generator(cfg, g, state.params_g, state.state_g,
+                            platforms=("cpu",))
+    return cfg, g, state, load_generator(blob)
+
+
+def test_export_roundtrip_matches_live_sampler(unconditional):
+    cfg, g, state, exported = unconditional
+    live = Sampler(cfg, g, state.params_g, state.state_g)
+    a = live.sample(6, seed=3)
+    b = exported.sample(6, seed=3)
+    # same math, but the export lowering (symbolic batch) fuses differently
+    # than the live jit — agreement is to float precision, not bit-exact
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-8)
+
+
+def test_symbolic_batch_any_size(unconditional):
+    cfg, _, _, exported = unconditional
+    for n in (1, 3, 8):
+        imgs = exported.sample(n, seed=0)
+        assert imgs.shape == (n, cfg.model.image_size, cfg.model.image_size,
+                              cfg.model.channels)
+    # chunked generation is identical to one-shot (per-index noise contract)
+    np.testing.assert_array_equal(exported.sample(8, seed=0),
+                                  exported.sample(8, seed=0, batch_size=3))
+
+
+def test_fixed_batch_export_pads_tail():
+    cfg, g, state = _tiny_gen()
+    blob = export_generator(cfg, g, state.params_g, state.state_g,
+                            batch=4, platforms=("cpu",))
+    exported = load_generator(blob)
+    ref = load_generator(export_generator(
+        cfg, g, state.params_g, state.state_g, platforms=("cpu",)))
+    np.testing.assert_allclose(exported.sample(6, seed=1),
+                               ref.sample(6, seed=1), rtol=1e-4, atol=1e-8)
+
+
+def test_conditional_export():
+    cfg, g, state = _tiny_gen("cdcgan_celeba128",
+                              (("model.image_size", 32),))
+    blob = export_generator(cfg, g, state.params_g, state.state_g,
+                            platforms=("cpu",))
+    exported = load_generator(blob)
+    live = Sampler(cfg, g, state.params_g, state.state_g)
+    np.testing.assert_allclose(live.sample(5, seed=7),
+                               exported.sample(5, seed=7),
+                               rtol=1e-4, atol=1e-8)
+    with pytest.raises(ValueError):
+        exported.generate(np.zeros((2, cfg.model.nz), np.float32))
+
+
+def test_save_and_load_file(tmp_path, unconditional):
+    cfg, g, state, _ = unconditional
+    path = str(tmp_path / "gen.tpugan")
+    save_generator(path, cfg, g, state.params_g, state.state_g,
+                   platforms=("cpu",))
+    exported = load_generator(path)
+    assert exported.nz == cfg.model.nz
+    assert exported.meta["config"]["model"]["image_size"] == \
+        cfg.model.image_size
+    assert exported.sample(2, seed=0).shape[0] == 2
+
+
+def test_batching_engine_coalesces_and_is_correct(unconditional):
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=32, linger_ms=20.0)
+    try:
+        futs = [engine.sample(2, seed=s) for s in range(6)]
+        outs = [f.result(timeout=120) for f in futs]
+        for s, out in enumerate(outs):
+            np.testing.assert_allclose(out, exported.sample(2, seed=s),
+                                       rtol=1e-4, atol=1e-8)
+        # the 20ms linger window must have coalesced at least some requests
+        assert engine.stats["batches"] < engine.stats["requests"]
+        assert engine.stats["images"] == 12
+    finally:
+        engine.close()
+
+
+def test_batching_engine_error_propagates(unconditional):
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=8, linger_ms=1.0)
+    try:
+        bad = engine.submit(np.zeros((2, exported.nz + 1), np.float32))
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        # engine survives a poisoned batch
+        ok = engine.sample(1, seed=0).result(timeout=120)
+        assert ok.shape[0] == 1
+    finally:
+        engine.close()
+
+
+@pytest.fixture()
+def server(unconditional):
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=16, linger_ms=1.0)
+    srv = make_server(engine, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], exported
+    srv.shutdown()
+    srv.server_close()
+    engine.close()
+
+
+def _post(port, path, obj):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, json.dumps(obj),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), body
+
+
+def test_http_healthz(server):
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/healthz")
+    resp = conn.getresponse()
+    obj = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200 and obj["ok"]
+    assert obj["model"]["nz"] == 16
+
+
+def test_http_sample_npy_deterministic(server):
+    port, exported = server
+    status, ctype, body = _post(port, "/sample",
+                                {"n": 3, "seed": 11, "format": "npy"})
+    assert status == 200 and ctype == "application/octet-stream"
+    imgs = np.load(io.BytesIO(body))
+    np.testing.assert_allclose(imgs, exported.sample(3, seed=11),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_http_sample_png_and_errors(server):
+    port, _ = server
+    status, ctype, body = _post(port, "/sample", {"n": 4, "seed": 0})
+    assert status == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    status, _, body = _post(port, "/sample", {"n": 0})
+    assert status == 400 and b"error" in body
+    status, _, body = _post(port, "/sample", {"n": 1, "format": "bmp"})
+    assert status == 400

@@ -74,26 +74,34 @@ def cmd_train(args):
     print(json.dumps({"final": metrics}))
 
 
-def cmd_sample(args):
+def _load_generator_from_ckpt(ckpt_dir: str):
+    """(cfg, g, params, state_g, step) from a checkpoint directory, picking
+    EMA weights when the run tracked them."""
     from tpugan.ckpt import CheckpointManager
     from tpugan.models import build_models
-    from tpugan.sample import Sampler
     from tpugan.train import TrainState, create_train_state
-    from tpugan.utils import make_grid, save_png, to_uint8
 
-    cfg = _load_cfg_for_ckpt(args.ckpt)
+    cfg = _load_cfg_for_ckpt(ckpt_dir)
     g, d = build_models(cfg.model, cfg.train.precision)
     template = create_train_state(cfg, g, d)
-    state = TrainState(**CheckpointManager(args.ckpt).restore(dict(template)))
+    state = TrainState(**CheckpointManager(ckpt_dir).restore(dict(template)))
     params = (state.params_g_ema if state.params_g_ema is not None
-              else state.params_g)  # EMA weights when the run tracked them
-    sampler = Sampler(cfg, g, params, state.state_g)
+              else state.params_g)
+    return cfg, g, params, state.state_g, int(state.step)
+
+
+def cmd_sample(args):
+    from tpugan.sample import Sampler
+    from tpugan.utils import make_grid, save_png, to_uint8
+
+    cfg, g, params, state_g, step = _load_generator_from_ckpt(args.ckpt)
+    sampler = Sampler(cfg, g, params, state_g)
     imgs = sampler.sample(args.n, seed=args.seed,
                           batch_size=args.batch_size or args.n)
     grid = make_grid(to_uint8(imgs), nrow=args.nrow)
     save_png(args.out, grid)
     print(f"wrote {args.out} ({args.n} images, seed {args.seed}, "
-          f"step {int(state.step)})")
+          f"step {step})")
 
 
 def cmd_eval(args):
@@ -113,6 +121,40 @@ def cmd_eval(args):
               else state.params_g)
     result = evaluate(cfg, g, params, state.state_g, seed=args.seed)
     print(json.dumps(result))
+
+
+def cmd_export(args):
+    from tpugan.export import save_generator
+
+    cfg, g, params, state_g, step = _load_generator_from_ckpt(args.ckpt)
+    platforms = tuple(args.platforms.split(","))
+    save_generator(args.out, cfg, g, params, state_g,
+                   batch=args.batch or None, platforms=platforms)
+    size = os.path.getsize(args.out)
+    print(f"exported step-{step} generator -> {args.out} "
+          f"({size / 1e6:.2f} MB, platforms={','.join(platforms)}, "
+          f"batch={'symbolic' if not args.batch else args.batch})")
+
+
+def cmd_serve(args):
+    from tpugan.serve import BatchingEngine, serve_forever
+
+    if args.model:
+        from tpugan.export import load_generator
+
+        gen = load_generator(args.model)
+    else:
+        if not args.ckpt:
+            raise SystemExit("serve needs --model or --ckpt")
+        # Serve straight from a checkpoint: export in-memory (weights baked
+        # in) so the serving path is identical either way.
+        from tpugan.export import export_generator, load_generator
+
+        cfg, g, params, state_g, _ = _load_generator_from_ckpt(args.ckpt)
+        gen = load_generator(export_generator(cfg, g, params, state_g))
+    engine = BatchingEngine(gen, max_batch=args.max_batch,
+                            linger_ms=args.linger_ms)
+    serve_forever(engine, host=args.host, port=args.port)
 
 
 def main(argv=None):
@@ -141,9 +183,27 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fid-n", type=int, default=0)
 
+    p = sub.add_parser("export",
+                       help="export a deployable generator artifact")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", default="generator.tpugan")
+    p.add_argument("--batch", type=int, default=0,
+                   help="fixed batch size (default: symbolic, any size)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering platforms")
+
+    p = sub.add_parser("serve", help="HTTP sampling server (micro-batched)")
+    p.add_argument("--model", default="", help=".tpugan artifact to serve")
+    p.add_argument("--ckpt", default="", help="...or a checkpoint dir")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--linger-ms", type=float, default=2.0)
+
     args = ap.parse_args(argv)
     {"presets": cmd_presets, "train": cmd_train, "sample": cmd_sample,
-     "eval": cmd_eval}[args.cmd](args)
+     "eval": cmd_eval, "export": cmd_export, "serve": cmd_serve}[args.cmd](
+        args)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,25 @@ from tpugan.utils.images import make_grid, save_png, to_uint8
 _SAMPLE_FN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def seeded_noise(nz: int, n: int, seed: int, offset: int = 0) -> jax.Array:
+    """The sampler determinism contract: image i is a pure function of
+    (seed, i) — invariant to batching/chunking.  Shared by the live Sampler
+    and exported artifacts (tpugan/export) so a deployed generator
+    reproduces the training-time sample pixels per seed."""
+    root = jax.random.PRNGKey(seed)
+    idx = jnp.arange(offset, offset + n)
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
+    return jax.vmap(lambda k: jax.random.normal(k, (nz,), jnp.float32))(keys)
+
+
+def seeded_labels(n_classes: int, n: int, seed: int,
+                  offset: int = 0) -> jax.Array:
+    root = jax.random.fold_in(jax.random.PRNGKey(seed), 0x1ABE1)
+    idx = jnp.arange(offset, offset + n)
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
+    return jax.vmap(lambda k: jax.random.randint(k, (), 0, n_classes))(keys)
+
+
 def build_sample_fn(cfg: Config, g: Module):
     key = (cfg.train.kernels, cfg.model.arch)
     per_g = _SAMPLE_FN_CACHE.setdefault(g, {})
@@ -113,22 +132,13 @@ class Sampler:
     def noise(self, n: int, seed: int, offset: int = 0) -> jax.Array:
         """Per-sample-index noise: image i is a function of (seed, i) only,
         so generation is invariant to batching/chunking."""
-        nz = self.nz
-        root = jax.random.PRNGKey(seed)
-        idx = jnp.arange(offset, offset + n)
-        keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
-        return jax.vmap(
-            lambda k: jax.random.normal(k, (nz,), jnp.float32))(keys)
+        return seeded_noise(self.nz, n, seed, offset)
 
     def labels(self, n: int, seed: int, offset: int = 0
                ) -> Optional[jax.Array]:
         if not self.conditional:
             return None
-        root = jax.random.fold_in(jax.random.PRNGKey(seed), 0x1ABE1)
-        idx = jnp.arange(offset, offset + n)
-        keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
-        return jax.vmap(
-            lambda k: jax.random.randint(k, (), 0, self.n_classes))(keys)
+        return seeded_labels(self.n_classes, n, seed, offset)
 
     def sample(self, n: int, seed: int = 0, labels=None,
                batch_size: int = 0) -> np.ndarray:

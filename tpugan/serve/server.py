@@ -1,0 +1,225 @@
+"""Serving: micro-batched, seeded image generation over HTTP.
+
+The reference has no serving story (its sampler writes PNG grids from a
+training script); a production TPU deployment wants the opposite shape:
+one resident compiled generator, many small concurrent requests, and a
+batching layer that keeps the MXU fed.  Two pieces:
+
+- ``BatchingEngine``: a queue + worker thread that coalesces concurrent
+  requests into one device batch (padded to power-of-two buckets so a
+  symbolic-batch exported artifact compiles O(log max_batch) shapes, once
+  each), then scatters results back to per-request futures.
+- ``GanServer``: a stdlib ThreadingHTTPServer exposing
+  ``GET /healthz`` (liveness + engine stats) and ``POST /sample``
+  (JSON body: n / seed / labels / format png|npy / nrow) on top of an
+  ``ExportedGenerator`` artifact or a live checkpoint.
+
+No third-party server dependency — the host side is stdlib-only by design
+(this framework's native/runtime layer philosophy: the device path is XLA,
+the host path is boring and auditable).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from tpugan.export.exporter import ExportedGenerator
+from tpugan.sample.sampler import seeded_labels, seeded_noise
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class BatchingEngine:
+    """Coalesce concurrent generation requests into padded device batches."""
+
+    def __init__(self, gen: ExportedGenerator, max_batch: int = 64,
+                 linger_ms: float = 2.0):
+        self.gen = gen
+        self.max_batch = int(max_batch)
+        self.linger_s = float(linger_ms) / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "images": 0, "batches": 0,
+                      "padded_images": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="tpugan-batcher")
+        self._worker.start()
+
+    def submit(self, z: np.ndarray, y: Optional[np.ndarray] = None
+               ) -> "Future[np.ndarray]":
+        """Request images for explicit latents (and labels). Thread-safe."""
+        if self.gen.conditional and y is None:
+            raise ValueError("conditional model: labels required")
+        fut: "Future[np.ndarray]" = Future()
+        self._q.put((np.asarray(z, np.float32),
+                     None if y is None else np.asarray(y, np.int32), fut))
+        return fut
+
+    def sample(self, n: int, seed: int = 0,
+               labels=None) -> "Future[np.ndarray]":
+        """Seeded request — same (seed, index) contract as the Sampler."""
+        z = np.asarray(seeded_noise(self.gen.nz, n, seed))
+        y = None
+        if self.gen.conditional:
+            y = (np.asarray(labels, np.int32) if labels is not None else
+                 np.asarray(seeded_labels(self.gen.n_classes, n, seed)))
+        return self.submit(z, y)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)
+        self._worker.join(timeout=10)
+
+    # -- worker -------------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first item, then linger briefly for co-travelers."""
+        first = self._q.get()
+        if first is None:
+            return None
+        items = [first]
+        total = first[0].shape[0]
+        deadline = time.monotonic() + self.linger_s
+        while total < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # re-signal stop after this batch
+                break
+            items.append(item)
+            total += item[0].shape[0]
+        return items
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            items = self._collect()
+            if items is None:
+                return
+            zs = np.concatenate([z for z, _, _ in items], axis=0)
+            ys = None
+            if self.gen.conditional:
+                ys = np.concatenate([y for _, y, _ in items], axis=0)
+            n = zs.shape[0]
+            bucket = min(_next_pow2(n), max(n, 1))
+            if bucket > n:  # pad to the bucket so compiled shapes are few
+                zs = np.concatenate(
+                    [zs, np.zeros((bucket - n, zs.shape[1]), np.float32)])
+                if ys is not None:
+                    ys = np.concatenate(
+                        [ys, np.zeros((bucket - n,), np.int32)])
+            try:
+                imgs = self.gen.generate(zs, ys)[:n]
+            except Exception as e:
+                for _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self.stats["batches"] += 1
+            self.stats["requests"] += len(items)
+            self.stats["images"] += n
+            self.stats["padded_images"] += bucket - n
+            off = 0
+            for z, _, fut in items:
+                k = z.shape[0]
+                fut.set_result(imgs[off:off + k])
+                off += k
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: BatchingEngine = None  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_json(self, code: int, obj) -> None:
+        self._reply(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            g = self.engine.gen
+            self._reply_json(200, {
+                "ok": True,
+                "model": {"nz": g.nz, "image_size": g.image_size,
+                          "channels": g.channels,
+                          "conditional": g.conditional},
+                "stats": dict(self.engine.stats),
+            })
+        else:
+            self._reply_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/sample":
+            self._reply_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            n = int(req.get("n", 1))
+            if not 1 <= n <= 4096:
+                raise ValueError(f"n out of range: {n}")
+            seed = int(req.get("seed", 0))
+            labels = req.get("labels")
+            fmt = req.get("format", "png")
+            imgs = self.engine.sample(n, seed, labels).result(timeout=600)
+        except Exception as e:
+            self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        if fmt == "npy":
+            buf = io.BytesIO()
+            np.save(buf, imgs)
+            self._reply(200, buf.getvalue(), "application/octet-stream")
+        elif fmt == "png":
+            from tpugan.utils.images import encode_png, make_grid, to_uint8
+
+            nrow = int(req.get("nrow", 8))
+            grid = make_grid(to_uint8(imgs), nrow=min(nrow, n))
+            self._reply(200, encode_png(grid), "image/png")
+        else:
+            self._reply_json(400, {"error": f"unknown format {fmt!r}"})
+
+
+def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``port=0`` picks a free
+    port (``server.server_address[1]`` has the real one)."""
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(engine: BatchingEngine, host: str = "0.0.0.0",
+                  port: int = 8000) -> None:
+    srv = make_server(engine, host, port)
+    print(f"tpugan serving on http://{host}:{srv.server_address[1]} "
+          f"(POST /sample, GET /healthz)")
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()
+        engine.close()

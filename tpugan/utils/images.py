@@ -30,11 +30,24 @@ def make_grid(images: np.ndarray, nrow: int = 8, pad: int = 2,
     return grid
 
 
-def save_png(path: str, array: np.ndarray) -> None:
+def _to_pil(array: np.ndarray):
     from PIL import Image
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arr = np.asarray(array)
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
-    Image.fromarray(arr).save(path)
+    return Image.fromarray(arr)
+
+
+def save_png(path: str, array: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    _to_pil(array).save(path)
+
+
+def encode_png(array: np.ndarray) -> bytes:
+    """PNG-encode a uint8 HWC array in memory (the serving path)."""
+    import io
+
+    buf = io.BytesIO()
+    _to_pil(array).save(buf, format="PNG")
+    return buf.getvalue()
