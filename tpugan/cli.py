@@ -146,12 +146,20 @@ def cmd_serve(args):
     else:
         if not args.ckpt:
             raise SystemExit("serve needs --model or --ckpt")
-        # Serve straight from a checkpoint: export in-memory (weights baked
-        # in) so the serving path is identical either way.
-        from tpugan.export import export_generator, load_generator
-
         cfg, g, params, state_g, _ = _load_generator_from_ckpt(args.ckpt)
-        gen = load_generator(export_generator(cfg, g, params, state_g))
+        if args.shards:
+            # One endpoint over a multi-chip mesh: weights replicated,
+            # request batches sharded over ('data',).
+            from tpugan.parallel import ShardedSampler, make_mesh
+
+            gen = ShardedSampler(cfg, g, params, state_g,
+                                 make_mesh(args.shards))
+        else:
+            # Serve straight from a checkpoint: export in-memory (weights
+            # baked in) so the serving path is identical either way.
+            from tpugan.export import export_generator, load_generator
+
+            gen = load_generator(export_generator(cfg, g, params, state_g))
     engine = BatchingEngine(gen, max_batch=args.max_batch,
                             linger_ms=args.linger_ms)
     serve_forever(engine, host=args.host, port=args.port)
@@ -199,6 +207,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--linger-ms", type=float, default=2.0)
+    p.add_argument("--shards", type=int, default=0,
+                   help="serve one endpoint over an N-chip data mesh "
+                        "(requires --ckpt)")
 
     args = ap.parse_args(argv)
     {"presets": cmd_presets, "train": cmd_train, "sample": cmd_sample,

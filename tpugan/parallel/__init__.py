@@ -11,3 +11,4 @@ from tpugan.parallel.fsdp import (  # noqa: F401
     shard_params_fsdp,
     shard_train_state_fsdp,
 )
+from tpugan.parallel.inference import ShardedSampler  # noqa: F401
