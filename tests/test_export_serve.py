@@ -118,10 +118,18 @@ def test_batching_engine_error_propagates(unconditional):
     _, _, _, exported = unconditional
     engine = BatchingEngine(exported, max_batch=8, linger_ms=1.0)
     try:
-        bad = engine.submit(np.zeros((2, exported.nz + 1), np.float32))
-        with pytest.raises(Exception):
+        # malformed requests are rejected synchronously at submit()
+        with pytest.raises(ValueError):
+            engine.submit(np.zeros((2, exported.nz + 1), np.float32))
+        # a backend failure inside the worker fails only that batch and
+        # the worker survives
+        orig = engine.gen.generate
+        engine.gen.generate = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("device fell over"))
+        bad = engine.sample(1, seed=0)
+        with pytest.raises(RuntimeError):
             bad.result(timeout=120)
-        # engine survives a poisoned batch
+        engine.gen.generate = orig
         ok = engine.sample(1, seed=0).result(timeout=120)
         assert ok.shape[0] == 1
     finally:
@@ -219,3 +227,73 @@ def test_sharded_sampler_conditional():
     np.testing.assert_allclose(sharded.sample(10, seed=5),
                                live.sample(10, seed=5),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_fixed_batch_artifact_serves_through_engine():
+    """Review finding: engine batches must work against fixed-batch
+    artifacts (generate() chunks/pads internally)."""
+    cfg, g, state = _tiny_gen()
+    fixed = load_generator(export_generator(
+        cfg, g, state.params_g, state.state_g, batch=4, platforms=("cpu",)))
+    ref = load_generator(export_generator(
+        cfg, g, state.params_g, state.state_g, platforms=("cpu",)))
+    # direct generate with non-multiple sizes
+    z = np.asarray(ref.sample(7, seed=0))  # any (7, nz) latents via contract
+    from tpugan.sample.sampler import seeded_noise
+    z = np.asarray(seeded_noise(cfg.model.nz, 7, 3))
+    np.testing.assert_allclose(fixed.generate(z), ref.generate(z),
+                               rtol=1e-4, atol=1e-8)
+    # sample with an explicit batch_size != fixed_batch
+    np.testing.assert_allclose(fixed.sample(8, seed=1, batch_size=3),
+                               ref.sample(8, seed=1),
+                               rtol=1e-4, atol=1e-8)
+    engine = BatchingEngine(fixed, max_batch=8, linger_ms=5.0)
+    try:
+        futs = [engine.sample(3, seed=s) for s in range(3)]
+        for s, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=120),
+                                       ref.sample(3, seed=s),
+                                       rtol=1e-4, atol=1e-8)
+    finally:
+        engine.close()
+
+
+def test_engine_validates_at_submit_and_respects_max_batch(unconditional):
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=4, linger_ms=5.0)
+    try:
+        # malformed latents rejected synchronously, never enqueued
+        with pytest.raises(ValueError):
+            engine.submit(np.zeros((2, exported.nz + 1), np.float32))
+        with pytest.raises(ValueError):
+            engine.submit(np.zeros((2, exported.nz), np.float32),
+                          np.zeros((2,), np.int32))  # labels on uncond
+        # oversized request: split into <=max_batch chunks, reassembled
+        out = engine.sample(10, seed=3).result(timeout=120)
+        np.testing.assert_allclose(out, exported.sample(10, seed=3),
+                                   rtol=1e-4, atol=1e-8)
+        # no single device batch exceeded max_batch (padded to pow2 of <=4)
+        assert engine.stats["batches"] >= 3
+        assert engine.stats["images"] == 10
+    finally:
+        engine.close()
+
+
+def test_engine_pads_to_pow2_buckets(unconditional):
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=16, linger_ms=1.0)
+    try:
+        engine.sample(3, seed=0).result(timeout=120)  # 3 -> bucket 4
+        engine.sample(5, seed=0).result(timeout=120)  # 5 -> bucket 8
+        assert engine.stats["padded_images"] == (4 - 3) + (8 - 5)
+    finally:
+        engine.close()
+
+
+def test_http_label_length_and_format_rejected_before_generation(server):
+    port, _ = server
+    status, _, body = _post(port, "/sample",
+                            {"n": 2, "labels": [1], "format": "npy"})
+    assert status == 400 and b"labels length" in body
+    status, _, body = _post(port, "/sample", {"n": 1, "format": "bmp"})
+    assert status == 400 and b"unknown format" in body

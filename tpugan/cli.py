@@ -140,6 +140,10 @@ def cmd_serve(args):
     from tpugan.serve import BatchingEngine, serve_forever
 
     if args.model:
+        if args.shards:
+            raise SystemExit(
+                "--shards needs --ckpt (a serialized artifact is lowered "
+                "for one device; mesh serving re-jits with shardings)")
         from tpugan.export import load_generator
 
         gen = load_generator(args.model)

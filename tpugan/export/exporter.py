@@ -122,14 +122,41 @@ class ExportedGenerator:
         self.fixed_batch = meta.get("batch")
 
     def generate(self, z, y=None) -> np.ndarray:
+        """Run explicit latents through the artifact, any batch size.
+
+        A fixed-batch artifact accepts exactly one shape, so inputs are
+        chunked to ``fixed_batch`` with the tail zero-padded and sliced
+        back — callers (including the serving BatchingEngine) never need
+        to know which kind of artifact they hold.
+        """
         z = jnp.asarray(z, jnp.float32)
-        if self.conditional:
-            if y is None:
-                raise ValueError("conditional artifact needs labels y")
-            out = self._exported.call(z, jnp.asarray(y, jnp.int32))
-        else:
-            out = self._exported.call(z)
-        return np.asarray(out)
+        if self.conditional and y is None:
+            raise ValueError("conditional artifact needs labels y")
+        if not self.conditional and y is not None:
+            raise ValueError("unconditional artifact: labels not accepted")
+        y = None if y is None else jnp.asarray(y, jnp.int32)
+        n = z.shape[0]
+        fb = self.fixed_batch
+        if not fb:
+            out = (self._exported.call(z, y) if self.conditional
+                   else self._exported.call(z))
+            return np.asarray(out)
+        outs = []
+        for start in range(0, n, fb):
+            m = min(fb, n - start)
+            zc = z[start:start + m]
+            if m < fb:
+                zc = jnp.concatenate(
+                    [zc, jnp.zeros((fb - m, self.nz), jnp.float32)])
+            if self.conditional:
+                yc = y[start:start + m]
+                if m < fb:
+                    yc = jnp.concatenate(
+                        [yc, jnp.zeros((fb - m,), jnp.int32)])
+                outs.append(np.asarray(self._exported.call(zc, yc))[:m])
+            else:
+                outs.append(np.asarray(self._exported.call(zc))[:m])
+        return np.concatenate(outs, axis=0)
 
     def sample(self, n: int, seed: int = 0, labels=None,
                batch_size: int = 0) -> np.ndarray:
@@ -137,21 +164,6 @@ class ExportedGenerator:
         outs = []
         for start in range(0, n, bs):
             m = min(bs, n - start)
-            if self.fixed_batch and m < bs:
-                # fixed-batch artifact: pad the tail chunk, slice after
-                z = seeded_noise(self.nz, m, seed, offset=start)
-                z = jnp.concatenate(
-                    [z, jnp.zeros((bs - m, self.nz), jnp.float32)])
-                if self.conditional:
-                    y = (jnp.asarray(labels[start:start + m])
-                         if labels is not None else
-                         seeded_labels(self.n_classes, m, seed, offset=start))
-                    y = jnp.concatenate(
-                        [y, jnp.zeros((bs - m,), jnp.int32)])
-                    outs.append(self.generate(z, y)[:m])
-                else:
-                    outs.append(self.generate(z)[:m])
-                continue
             z = seeded_noise(self.nz, m, seed, offset=start)
             if self.conditional:
                 y = (jnp.asarray(labels[start:start + m])

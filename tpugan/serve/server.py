@@ -52,6 +52,7 @@ class BatchingEngine:
         self.max_batch = int(max_batch)
         self.linger_s = float(linger_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
+        self._carry = None  # worker-only: item deferred to the next batch
         self._stop = threading.Event()
         self.stats = {"requests": 0, "images": 0, "batches": 0,
                       "padded_images": 0}
@@ -61,12 +62,54 @@ class BatchingEngine:
 
     def submit(self, z: np.ndarray, y: Optional[np.ndarray] = None
                ) -> "Future[np.ndarray]":
-        """Request images for explicit latents (and labels). Thread-safe."""
-        if self.gen.conditional and y is None:
-            raise ValueError("conditional model: labels required")
+        """Request images for explicit latents (and labels). Thread-safe.
+
+        Validated here, before enqueueing, so one malformed request can
+        never poison co-batched requests; larger-than-max_batch requests
+        are split into max_batch chunks and transparently reassembled.
+        """
+        z = np.asarray(z, np.float32)
+        if z.ndim != 2 or z.shape[1] != self.gen.nz:
+            raise ValueError(
+                f"latents must be (n, {self.gen.nz}), got {z.shape}")
+        if self.gen.conditional:
+            if y is None:
+                raise ValueError("conditional model: labels required")
+            y = np.asarray(y, np.int32)
+            if y.shape != (z.shape[0],):
+                raise ValueError(
+                    f"labels must be ({z.shape[0]},), got {y.shape}")
+        elif y is not None:
+            raise ValueError("unconditional model: labels not accepted")
+        n = z.shape[0]
+        if n <= self.max_batch:
+            return self._enqueue(z, y)
+        chunks = [(z[i:i + self.max_batch],
+                   None if y is None else y[i:i + self.max_batch])
+                  for i in range(0, n, self.max_batch)]
+        futs = [self._enqueue(zc, yc) for zc, yc in chunks]
+        outer: "Future[np.ndarray]" = Future()
+
+        def _maybe_finish(_):
+            # done-callbacks fire in the single worker thread, so this is
+            # serialized; the outer.done() guard keeps it idempotent anyway
+            if outer.done() or not all(f.done() for f in futs):
+                return
+            errs = [f.exception() for f in futs if f.exception()]
+            if errs:
+                outer.set_exception(errs[0])
+            else:
+                outer.set_result(
+                    np.concatenate([f.result() for f in futs], axis=0))
+
+        for f in futs:
+            f.add_done_callback(_maybe_finish)
+        return outer
+
+    def _enqueue(self, z: np.ndarray, y: Optional[np.ndarray]
+                 ) -> "Future[np.ndarray]":
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((np.asarray(z, np.float32),
-                     None if y is None else np.asarray(y, np.int32), fut))
+        self._q.put((z, y, fut))
         return fut
 
     def sample(self, n: int, seed: int = 0,
@@ -87,8 +130,14 @@ class BatchingEngine:
     # -- worker -------------------------------------------------------------
 
     def _collect(self):
-        """Block for the first item, then linger briefly for co-travelers."""
-        first = self._q.get()
+        """Block for the first item, then linger briefly for co-travelers.
+
+        The device batch never exceeds ``max_batch`` (submit() pre-chunks
+        oversized requests to at most max_batch each): an item that would
+        overshoot is carried over to lead the next batch.
+        """
+        first = self._carry or self._q.get()
+        self._carry = None
         if first is None:
             return None
         items = [first]
@@ -105,6 +154,9 @@ class BatchingEngine:
             if item is None:
                 self._q.put(None)  # re-signal stop after this batch
                 break
+            if total + item[0].shape[0] > self.max_batch:
+                self._carry = item
+                break
             items.append(item)
             total += item[0].shape[0]
         return items
@@ -114,21 +166,26 @@ class BatchingEngine:
             items = self._collect()
             if items is None:
                 return
-            zs = np.concatenate([z for z, _, _ in items], axis=0)
-            ys = None
-            if self.gen.conditional:
-                ys = np.concatenate([y for _, y, _ in items], axis=0)
-            n = zs.shape[0]
-            bucket = min(_next_pow2(n), max(n, 1))
-            if bucket > n:  # pad to the bucket so compiled shapes are few
-                zs = np.concatenate(
-                    [zs, np.zeros((bucket - n, zs.shape[1]), np.float32)])
-                if ys is not None:
-                    ys = np.concatenate(
-                        [ys, np.zeros((bucket - n,), np.int32)])
             try:
+                zs = np.concatenate([z for z, _, _ in items], axis=0)
+                ys = None
+                if self.gen.conditional:
+                    ys = np.concatenate([y for _, y, _ in items], axis=0)
+                n = zs.shape[0]
+                # pad up to the next power of two (<= _next_pow2(max_batch))
+                # so a symbolic-batch artifact compiles O(log max_batch)
+                # distinct shapes, once each
+                bucket = _next_pow2(n)
+                if bucket > n:
+                    zs = np.concatenate(
+                        [zs, np.zeros((bucket - n, zs.shape[1]),
+                                      np.float32)])
+                    if ys is not None:
+                        ys = np.concatenate(
+                            [ys, np.zeros((bucket - n,), np.int32)])
                 imgs = self.gen.generate(zs, ys)[:n]
             except Exception as e:
+                # fail only this batch; the worker must survive anything
                 for _, _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
@@ -178,6 +235,8 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/sample":
             self._reply_json(404, {"error": f"no route {self.path}"})
             return
+        # Validate the whole request BEFORE any device work so malformed
+        # requests cost nothing; backend failures are 500s, not 400s.
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
@@ -186,23 +245,29 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError(f"n out of range: {n}")
             seed = int(req.get("seed", 0))
             labels = req.get("labels")
+            if labels is not None and len(labels) != n:
+                raise ValueError(f"labels length {len(labels)} != n {n}")
             fmt = req.get("format", "png")
-            imgs = self.engine.sample(n, seed, labels).result(timeout=600)
+            if fmt not in ("png", "npy"):
+                raise ValueError(f"unknown format {fmt!r}")
         except Exception as e:
             self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        try:
+            imgs = self.engine.sample(n, seed, labels).result(timeout=600)
+        except Exception as e:
+            self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
             return
         if fmt == "npy":
             buf = io.BytesIO()
             np.save(buf, imgs)
             self._reply(200, buf.getvalue(), "application/octet-stream")
-        elif fmt == "png":
+        else:  # png (fmt pre-validated above)
             from tpugan.utils.images import encode_png, make_grid, to_uint8
 
             nrow = int(req.get("nrow", 8))
             grid = make_grid(to_uint8(imgs), nrow=min(nrow, n))
             self._reply(200, encode_png(grid), "image/png")
-        else:
-            self._reply_json(400, {"error": f"unknown format {fmt!r}"})
 
 
 def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
