@@ -17,6 +17,8 @@ step.  Host-side behaviour is deliberately thin:
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 from typing import Dict, Optional
 
@@ -30,6 +32,31 @@ from tpugan.sample import Sampler
 from tpugan.train.state import TrainState, create_train_state
 from tpugan.train.steps import build_train_step
 from tpugan.utils import MetricsLogger, make_grid, save_png, to_uint8
+
+
+# Graceful preemption for production runs: on the scheduler's eviction
+# signal (SIGTERM; SIGINT likewise) the trainer finishes the in-flight
+# dispatch, saves a checkpoint, and returns cleanly — the run resumes
+# bit-exactly via ``train.resume``.  A second signal restores the default
+# disposition and re-raises it (force-quit).  Handlers can only be
+# installed on the main thread; elsewhere preemption just isn't armed.
+_PREEMPTED = threading.Event()
+
+
+def _on_preempt(signum, frame):
+    if _PREEMPTED.is_set():  # second signal: give up gracefulness
+        signal.signal(signum, signal.SIG_DFL)
+        signal.raise_signal(signum)
+    _PREEMPTED.set()
+
+
+def _arm_preemption() -> bool:
+    if threading.current_thread() is not threading.main_thread():
+        return False
+    _PREEMPTED.clear()
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, _on_preempt)
+    return True
 
 
 class Trainer:
@@ -169,9 +196,14 @@ class Trainer:
         profiling = False
         it = iter(pipeline)
         start_step = int(self.state.step)
+        preemptible = _arm_preemption()
+        preempted = False
         # steps advanced per dispatch (scan-fused)
         k = k_steps
         for i in range(start_step, total_steps, k):
+            if preemptible and _PREEMPTED.is_set():
+                preempted = True
+                break
             # optional profiler window (skip step 1: compile)
             if cfg.train.profile_steps:
                 if i == start_step + k and not profiling:
@@ -227,6 +259,10 @@ class Trainer:
         self.save_checkpoint(ckpt)
         ckpt.close()
         logger.close()
+        if preempted:
+            print(f"preempted at step {int(self.state.step)}: checkpoint "
+                  f"saved to {cfg.train.ckpt_dir}; rerun with "
+                  f"train.resume={cfg.train.ckpt_dir!r} to continue")
         return last_metrics
 
     # -- public sampler handle ---------------------------------------------
