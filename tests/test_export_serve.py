@@ -297,3 +297,16 @@ def test_http_label_length_and_format_rejected_before_generation(server):
     assert status == 400 and b"labels length" in body
     status, _, body = _post(port, "/sample", {"n": 1, "format": "bmp"})
     assert status == 400 and b"unknown format" in body
+
+
+def test_http_metrics_endpoint(server):
+    port, _ = server
+    _post(port, "/sample", {"n": 2, "format": "npy"})
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    text = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    assert "tpugan_images" in text and "tpugan_batches" in text
+    assert "tpugan_batch_latency_p50_ms" in text

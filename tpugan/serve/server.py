@@ -21,6 +21,7 @@ the host path is boring and auditable).
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
@@ -56,6 +57,8 @@ class BatchingEngine:
         self._stop = threading.Event()
         self.stats = {"requests": 0, "images": 0, "batches": 0,
                       "padded_images": 0}
+        # last-1000 per-batch device latencies (worker-thread only writes)
+        self._latencies_ms = collections.deque(maxlen=1000)
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="tpugan-batcher")
         self._worker.start()
@@ -122,6 +125,14 @@ class BatchingEngine:
                  np.asarray(seeded_labels(self.gen.n_classes, n, seed)))
         return self.submit(z, y)
 
+    def latency_summary(self) -> dict:
+        lat = sorted(self._latencies_ms)
+        if not lat:
+            return {}
+        q = lambda p: lat[min(int(p * len(lat)), len(lat) - 1)]  # noqa: E731
+        return {"p50_ms": round(q(0.50), 2), "p90_ms": round(q(0.90), 2),
+                "p99_ms": round(q(0.99), 2), "max_ms": round(lat[-1], 2)}
+
     def close(self) -> None:
         self._stop.set()
         self._q.put(None)
@@ -183,7 +194,9 @@ class BatchingEngine:
                     if ys is not None:
                         ys = np.concatenate(
                             [ys, np.zeros((bucket - n,), np.int32)])
+                t0 = time.monotonic()
                 imgs = self.gen.generate(zs, ys)[:n]
+                self._latencies_ms.append((time.monotonic() - t0) * 1e3)
             except Exception as e:
                 # fail only this batch; the worker must survive anything
                 for _, _, fut in items:
@@ -227,7 +240,16 @@ class _Handler(BaseHTTPRequestHandler):
                           "channels": g.channels,
                           "conditional": g.conditional},
                 "stats": dict(self.engine.stats),
+                "latency": self.engine.latency_summary(),
             })
+        elif self.path == "/metrics":
+            st = self.engine.stats
+            lat = self.engine.latency_summary()
+            lines = [f"tpugan_{k} {v}" for k, v in st.items()]
+            lines += [f"tpugan_batch_latency_{k.replace('_ms', '')}_ms {v}"
+                      for k, v in lat.items()]
+            self._reply(200, ("\n".join(lines) + "\n").encode(),
+                        "text/plain; version=0.0.4")
         else:
             self._reply_json(404, {"error": f"no route {self.path}"})
 
