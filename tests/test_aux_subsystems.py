@@ -151,3 +151,29 @@ Trainer(cfg).train()
     metrics = t2.train()
     assert int(t2.state.step) == saved_step + 4
     assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_halt_on_nonfinite_saves_checkpoint_and_raises(tmp_path):
+    """Divergence guard: a NaN in the logged metrics saves a checkpoint and
+    halts with NonFiniteLossError instead of training on garbage."""
+    from tpugan.train import NonFiniteLossError
+
+    tmp = str(tmp_path)
+    cfg = _tiny_cfg(tmp, steps=6)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, log_every=2, ckpt_every=0, halt_on_nonfinite=True))
+    t = Trainer(cfg)
+    real_step = t.step_fn
+
+    def poisoned(state, batch):
+        state, metrics = real_step(state, batch)
+        if int(state.step) >= 4:  # diverge on the 4th step
+            metrics = dict(metrics, loss_d=jnp.float32(float("nan")))
+        return state, metrics
+
+    t.step_fn = poisoned
+    with pytest.raises(NonFiniteLossError, match="loss_d"):
+        t.train()
+    # the checkpoint from the halt is restorable at the halt step
+    t2 = Trainer(_tiny_cfg(tmp, steps=6))
+    assert t2.restore(cfg.train.ckpt_dir) == 4

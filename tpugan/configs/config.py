@@ -130,6 +130,11 @@ class TrainConfig:
     # n_critic == 1 and no gradient penalty.
     fused_prop: bool = False
     donate: bool = True  # donate train-state buffers into the jitted step
+    # GAN runs can diverge; with this on, a non-finite logged loss saves a
+    # checkpoint and halts cleanly (NonFiniteLossError) instead of burning
+    # chip-hours logging NaNs.  Checked at log_every cadence — free, the
+    # host fetches those metrics anyway.
+    halt_on_nonfinite: bool = False
     mesh_shape: Optional[int] = None  # data-parallel devices (None = all)
     # Spatial (H-axis) sharding over N devices for ≥256px feature maps
     # (halo-exchange convs; parallel/spatial.py).  0 = off.  Mutually

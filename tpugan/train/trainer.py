@@ -23,6 +23,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 from tpugan.ckpt import CheckpointManager
 from tpugan.configs import Config
@@ -41,6 +42,11 @@ from tpugan.utils import MetricsLogger, make_grid, save_png, to_uint8
 # disposition and re-raises it (force-quit).  Handlers can only be
 # installed on the main thread; elsewhere preemption just isn't armed.
 _PREEMPTED = threading.Event()
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised (with a checkpoint already saved) when train.halt_on_nonfinite
+    is set and a logged metric goes NaN/inf — the GAN diverged."""
 
 
 def _on_preempt(signum, frame):
@@ -226,6 +232,16 @@ class Trainer:
                 host["images_per_sec"] = imgs_since / max(dt, 1e-9)
                 logger.log(step_no, host)
                 last_metrics = host
+                if cfg.train.halt_on_nonfinite:
+                    bad = [k for k, v in host.items()
+                           if not np.isfinite(v)]
+                    if bad:
+                        self.save_checkpoint(ckpt)
+                        ckpt.close()
+                        logger.close()
+                        raise NonFiniteLossError(
+                            f"non-finite metrics {bad} at step {step_no}; "
+                            f"checkpoint saved to {cfg.train.ckpt_dir}")
                 t0 = time.perf_counter()
                 imgs_since = 0
 
