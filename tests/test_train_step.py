@@ -272,3 +272,45 @@ def test_label_smoothing_wired():
     expect = (F.binary_cross_entropy_with_logits(tr, torch.full_like(tr, 0.9))
               + F.binary_cross_entropy_with_logits(tf, torch.zeros_like(tf)))
     np.testing.assert_allclose(soft, float(expect), rtol=1e-5)
+
+
+def test_epoch_indices_cover_each_epoch_exactly_once():
+    """Device-resident 'epoch' sampling = DataLoader shuffle=True: every
+    epoch visits each index exactly once, across straddling batches, and
+    the order is a pure function of (seed, step) — resume-exact."""
+    import jax
+    import numpy as np
+
+    from tpugan.train.steps import epoch_indices
+
+    root = jax.random.fold_in(jax.random.PRNGKey(7), 0xDA7A)
+    n, bsz = 12, 5  # bsz does not divide n -> batches straddle epochs
+    steps = 12  # 60 positions = 5 epochs
+    idx = np.concatenate([
+        np.asarray(epoch_indices(root, jnp.int32(s), bsz, n))
+        for s in range(steps)])
+    for e in range(5):
+        chunk = np.sort(idx[e * n:(e + 1) * n])
+        np.testing.assert_array_equal(chunk, np.arange(n))
+    # different epochs, different order (overwhelmingly likely)
+    assert not np.array_equal(idx[:n], idx[n:2 * n])
+    # determinism: same (seed, step) -> same indices
+    again = np.asarray(epoch_indices(root, jnp.int32(3), bsz, n))
+    np.testing.assert_array_equal(again, idx[3 * bsz:4 * bsz])
+
+
+def test_device_resident_epoch_sampling_trains():
+    cfg = get_preset("dcgan_mnist").override({
+        "data.dataset": "synthetic", "data.batch_size": 8,
+        "data.synthetic_size": 32, "data.device_resident": True,
+        "data.sampling": "epoch", "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "train.precision": "fp32", "train.donate": False})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    step = build_train_step(cfg, g, d)
+    state = create_train_state(cfg, g, d)
+    data = np.random.default_rng(0).integers(
+        0, 256, size=(32, 28, 28, 1)).astype(np.uint8)
+    batch = {"dataset_images": jnp.asarray(data)}
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    assert all(np.isfinite(float(v)) for v in metrics.values())

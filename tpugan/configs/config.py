@@ -81,6 +81,10 @@ class DataConfig:
     # per-batch transfer entirely (MNIST/CIFAR ~50-150MB; CelebA-64 ~2.5GB).
     # Sampling is uniform-with-replacement rather than epoch permutations.
     device_resident: bool = False
+    # Device-resident batch sampling: "replacement" (uniform, cheapest) or
+    # "epoch" (a fresh on-device permutation per epoch — the reference
+    # DataLoader's shuffle=True semantics, matching the host pipeline).
+    sampling: str = "replacement"
     # Larger-than-RAM folder datasets: "auto" streams (per-batch threaded
     # decode, host memory bounded by prefetch×batch) when the decoded set
     # would exceed max_ram_mb; "on"/"off" force.  Streaming excludes

@@ -41,6 +41,23 @@ from tpugan.nn.core import Module
 from tpugan.train.state import TrainState, make_optimizers
 
 
+def epoch_indices(data_root: jax.Array, step: jax.Array, bsz: int,
+                  n: int) -> jax.Array:
+    """On-device DataLoader semantics (shuffle=True, without replacement):
+    run position ``p`` reads ``perm_{p // n}[p % n]``, a fresh permutation
+    per epoch keyed on (config seed, epoch).  A batch straddles at most two
+    epochs, so two permutations cover every element; positions derive from
+    ``state.step``, so the data order is resume-exact."""
+    pos = step * bsz + jnp.arange(bsz)
+    epoch, r = pos // n, pos % n
+    perm_a = jax.random.permutation(
+        jax.random.fold_in(data_root, epoch[0]), n)
+    perm_b = jax.random.permutation(
+        jax.random.fold_in(data_root, epoch[-1]), n)
+    return jnp.where(epoch == epoch[0],
+                     jnp.take(perm_a, r), jnp.take(perm_b, r))
+
+
 def build_train_step(cfg: Config, g: Module, d: Module
                      ) -> Callable[[TrainState, Dict[str, jax.Array]],
                                    Tuple[TrainState, Dict[str, jax.Array]]]:
@@ -174,6 +191,12 @@ def build_train_step(cfg: Config, g: Module, d: Module
     ema_decay = cfg.train.ema
 
     bsz_cfg = cfg.data.batch_size
+    sampling = cfg.data.sampling
+    # root key for per-epoch permutations: a pure function of the config
+    # seed, so the data order is reproducible and resume-exact (positions
+    # derive from state.step, not from the consumable rng stream)
+    data_root = jax.random.fold_in(
+        jax.random.PRNGKey(cfg.train.seed), 0xDA7A)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -184,7 +207,10 @@ def build_train_step(cfg: Config, g: Module, d: Module
             # Device-resident mode: the full dataset lives in HBM; gather
             # this step's batch on-device — zero host->device traffic.
             n_data = batch["dataset_images"].shape[0]
-            idx = jax.random.randint(k_data, (bsz_cfg,), 0, n_data)
+            if sampling == "epoch":
+                idx = epoch_indices(data_root, state.step, bsz_cfg, n_data)
+            else:  # uniform with replacement (default; cheapest)
+                idx = jax.random.randint(k_data, (bsz_cfg,), 0, n_data)
             x_real = jnp.take(batch["dataset_images"], idx, axis=0)
             y_real = (jnp.take(batch["dataset_labels"], idx, axis=0)
                       if "dataset_labels" in batch else None)
