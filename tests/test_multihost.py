@@ -86,3 +86,98 @@ def test_two_process_distributed_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
         assert f"WORKER{pid}_OK" in out, out[-2000:]
+
+
+_TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpugan.configs import get_preset
+from tpugan.models import build_models
+from tpugan.parallel.multihost import initialize_multihost, local_batch_slice
+from tpugan.train import build_train_step, create_train_state
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+devs = jax.devices()
+assert len(devs) == nproc * 4, devs  # 4 local CPU devices per process
+mesh = Mesh(np.array(devs), ("data",))
+
+# the REAL training step — WGAN-GP (double backward) — sharded over a mesh
+# that spans two OS processes; per-process state is identical by seeded
+# construction, so replicated placement is single-program semantics.
+cfg = get_preset("wgan_gp_cifar10").override({
+    "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+    "data.batch_size": len(devs), "train.precision": "fp32",
+    "train.donate": False})
+g, d = build_models(cfg.model, cfg.train.precision)
+state = create_train_state(cfg, g, d)
+state = jax.device_put(state, NamedSharding(mesh, P()))
+step = build_train_step(cfg, g, d)
+
+# global uint8 batch: every process holds the full seeded array and
+# contributes its local rows
+rng = np.random.default_rng(0)
+imgs = rng.integers(0, 256, size=(len(devs), 32, 32, 3)).astype(np.uint8)
+sl = local_batch_slice(len(devs))
+local = imgs[sl]
+arrs = [jax.device_put(local[i:i + 1], dd)
+        for i, dd in enumerate(jax.local_devices())]
+garr = jax.make_array_from_single_device_arrays(
+    imgs.shape, NamedSharding(mesh, P("data")), arrs)
+
+state, metrics = step(state, {"image": garr})
+for k, v in metrics.items():
+    val = float(np.asarray(v.addressable_shards[0].data))
+    assert np.isfinite(val), (k, val)
+assert int(np.asarray(state.step.addressable_shards[0].data)) == 1
+loss_d = float(np.asarray(metrics["loss_d"].addressable_shards[0].data))
+print(f"TRAIN{pid}_OK loss_d={loss_d:.6f}", flush=True)
+"""
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    """The full WGAN-GP train step (gradient penalty double backward,
+    cross-replica BN, both optimizer updates) executes over a mesh spanning
+    two OS processes; both report identical replicated losses."""
+    try:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+    except OSError:
+        pytest.skip("sandbox forbids sockets")
+
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed train workers timed out")
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"TRAIN{pid}_OK")]
+        assert line, out[-2000:]
+        losses.append(float(line[0].split("loss_d=")[1]))
+    assert losses[0] == losses[1], losses  # replicated result agrees
