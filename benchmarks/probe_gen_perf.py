@@ -15,6 +15,11 @@ Run ON THE CHIP: python benchmarks/probe_gen_perf.py
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

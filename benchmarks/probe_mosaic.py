@@ -1,3 +1,6 @@
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Probe which interleave formulations Mosaic (compiled Pallas TPU) accepts.
 
 The phase-decomposed transpose conv must merge 4 phase tensors into the
