@@ -310,3 +310,27 @@ def test_http_metrics_endpoint(server):
     assert resp.status == 200
     assert "tpugan_images" in text and "tpugan_batches" in text
     assert "tpugan_batch_latency_p50_ms" in text
+
+
+@pytest.mark.slow
+def test_engine_soak_concurrent_load(unconditional):
+    """200 concurrent mixed-size requests from 16 threads: every response
+    correct (per-seed contract), no deadlock, stats consistent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=32, linger_ms=2.0)
+    expect = {s: exported.sample(1 + s % 7, seed=s) for s in range(20)}
+    try:
+        def one(i):
+            s = i % 20
+            out = engine.sample(1 + s % 7, seed=s).result(timeout=300)
+            np.testing.assert_allclose(out, expect[s], rtol=1e-4, atol=1e-8)
+            return out.shape[0]
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            sizes = list(pool.map(one, range(200)))
+        assert engine.stats["images"] == sum(sizes)
+        assert engine.stats["requests"] == 200
+        assert engine.latency_summary()["p50_ms"] > 0
+    finally:
+        engine.close()
