@@ -223,3 +223,75 @@ def test_spatial_256_training_smoke():
             state, m = step(state, b)
     assert np.isfinite(float(m["loss_d"]))
     assert np.isfinite(float(m["loss_g"]))
+
+
+def test_dp_x_spatial_train_step_matches_dense(rng):
+    """2-D DP x spatial: the full train step on a (2 data x 2 space) mesh
+    — batch sharded over 'data', feature-map H over 'space', gradient
+    psums over data, halo ppermutes over space — matches the dense
+    single-device step."""
+    from tpugan.parallel.spatial import make_mesh_dp_spatial, shard_spatial
+    from tpugan.train import build_train_step, create_train_state
+
+    cfg, g, d = _models(64)
+    batches = [{
+        "image": jnp.asarray(rng.integers(0, 256, size=(4, 64, 64, 3))
+                             .astype(np.uint8)),
+    } for _ in range(2)]
+
+    def run(mesh):
+        state = create_train_state(cfg, g, d)
+        step = build_train_step(cfg, g, d)
+        if mesh is not None:
+            from tpugan.parallel import shard_train_state
+
+            state = shard_train_state(state, mesh)
+            with spatial_ctx(mesh):
+                for b in batches:
+                    bs = {"image": shard_spatial(b["image"], mesh)}
+                    state, m = step(state, bs)
+        else:
+            for b in batches:
+                state, m = step(state, b)
+        return state, m
+
+    s0, m0 = run(None)
+    s1, m1 = run(make_mesh_dp_spatial(2, 2))
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m0["loss_d"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(m1["loss_g"]), float(m0["loss_g"]),
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s0.params_g)),
+                    jax.tree.leaves(jax.device_get(s1.params_g))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_trainer_dp_x_spatial_wiring(tmp_path):
+    """Trainer builds the 2-D mesh itself when both train.mesh_shape and
+    train.spatial_shards are set; public-API run produces finite losses."""
+    import dataclasses
+
+    from tpugan.configs import get_preset
+    from tpugan.train import Trainer
+
+    cfg = get_preset("dcgan_256_spatial").override({
+        "model.image_size": 64, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "data.dataset": "synthetic", "data.batch_size": 4,
+        "data.synthetic_size": 16, "data.hflip": False,
+        "train.precision": "fp32", "train.total_steps": 2,
+        "train.log_every": 1, "train.sample_every": 0, "train.ckpt_every": 0,
+        "train.spatial_shards": 2, "train.mesh_shape": 4,
+    })
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out")))
+    try:
+        t = Trainer(cfg)
+        assert t.spatial_mesh is not None
+        assert dict(t.mesh.shape) == {"data": 4, "space": 2}
+        m = t.train()
+        assert np.isfinite(m["loss_d"]) and np.isfinite(m["loss_g"])
+    finally:
+        from tpugan.parallel.spatial import set_spatial_mesh
+
+        set_spatial_mesh(None)

@@ -56,10 +56,23 @@ def _halo(xs, axis_name: str, n: int, dim: int, idx):
     return up, down
 
 
-def _specs(dim: int, axis: str):
+def _specs(dim: int, axis: str, mesh: Mesh):
+    """in/weight PartitionSpecs: the spatial dim over ``axis``; when the
+    mesh also carries a 'data' axis (2-D DP x spatial), the batch dim over
+    it — each shard then owns a (batch-slice, row-slice) tile and the halo
+    ppermutes stay within its 'space' row of the mesh."""
     spec = [None, None, None, None]
     spec[dim] = axis
+    if "data" in mesh.shape and axis != "data":
+        spec[0] = "data"
     return P(*spec), P()
+
+
+def _sum_axes(axis: str, mesh: Mesh):
+    """Axes a weight-gradient psum must reduce over: the spatial shards,
+    plus the batch shards when the mesh is 2-D."""
+    return (axis, "data") if "data" in mesh.shape and axis != "data" \
+        else axis
 
 
 def spatial_conv2d(x, w, mesh: Mesh, *, axis: str = "space", dim: int = 1):
@@ -73,7 +86,7 @@ def spatial_conv2d(x, w, mesh: Mesh, *, axis: str = "space", dim: int = 1):
         raise ValueError(
             f"sharded dim {dim} extent {x.shape[dim]} must be divisible by "
             f"2*n_shards={2 * n} (stride-2 windows align with shards)")
-    in_spec, w_spec = _specs(dim, axis)
+    in_spec, w_spec = _specs(dim, axis, mesh)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_spec, w_spec),
                        out_specs=in_spec)
@@ -115,7 +128,7 @@ def spatial_conv_transpose2d(x, w, mesh: Mesh, *, axis: str = "space",
 
 def _convt_forward(x, w, mesh: Mesh, axis: str, dim: int):
     n = mesh.shape[axis]
-    in_spec, w_spec = _specs(dim, axis)
+    in_spec, w_spec = _specs(dim, axis, mesh)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_spec, w_spec),
                        out_specs=in_spec)
@@ -156,7 +169,7 @@ def _convt_bwd(mesh, axis, dim, res, g):
     dx = spatial_conv2d(g, jnp.swapaxes(w, 2, 3), mesh, axis=axis, dim=dim)
 
     n = mesh.shape[axis]
-    in_spec, _ = _specs(dim, axis)
+    in_spec, _ = _specs(dim, axis, mesh)
     odim = 3 - dim  # the unsharded spatial dim
 
     @functools.partial(jax.shard_map, mesh=mesh,
@@ -191,7 +204,7 @@ def _convt_bwd(mesh, axis, dim, res, g):
                                       gsl.astype(jnp.float32)))
             parts.append(jnp.stack(row))
         dw = jnp.stack(parts)  # (4, 4, Ci, Co), this shard's partial
-        return lax.psum(dw, axis)
+        return lax.psum(dw, _sum_axes(axis, mesh))
 
     return dx, dw_shard(x, g).astype(w.dtype)
 
@@ -200,9 +213,20 @@ _convt_vjp.defvjp(_convt_fwd, _convt_bwd)
 
 
 def shard_spatial(x, mesh: Mesh, axis: str = "space", dim: int = 1):
-    """Place (N, H, W, C) with dim sharded over ``axis``."""
-    spec, _ = _specs(dim, axis)
+    """Place (N, H, W, C) with dim sharded over ``axis`` (and the batch
+    dim over 'data' when the mesh is 2-D)."""
+    spec, _ = _specs(dim, axis, mesh)
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def make_mesh_dp_spatial(n_data: int, n_space: int) -> Mesh:
+    """2-D (data, space) mesh: batch data-parallel AND feature maps
+    spatially sharded — gradient psums ride 'data', halo ppermutes ride
+    'space' (adjacent devices, so on hardware they are ICI neighbors)."""
+    import numpy as np
+
+    devs = np.array(jax.devices()[:n_data * n_space])
+    return Mesh(devs.reshape(n_data, n_space), ("data", "space"))
 
 
 # ---------------------------------------------------------------------------

@@ -93,7 +93,27 @@ class Trainer:
         # context for the whole run; the ops seam routes qualifying convs
         # to the halo primitives (parallel/spatial.py).
         self.spatial_mesh = None
-        if cfg.train.spatial_shards > 0 and mesh is None:
+        if cfg.train.spatial_shards > 0 and (mesh is not None
+                                             or cfg.train.mesh_shape):
+            # 2-D DP x spatial: batch over ('data',), feature-map H over
+            # ('space',) — gradient psums ride the data axis, halo
+            # ppermutes the space axis.  Supersedes any 1-D mesh passed in.
+            from tpugan.parallel import shard_train_state
+            from tpugan.parallel.spatial import (make_mesh_dp_spatial,
+                                                 set_spatial_mesh)
+
+            n_data = (cfg.train.mesh_shape or
+                      len(mesh.devices.flat) // cfg.train.spatial_shards)
+            mesh = make_mesh_dp_spatial(n_data, cfg.train.spatial_shards)
+            self.spatial_mesh = mesh
+            set_spatial_mesh(mesh)
+            # redo the placement done above for the superseded 1-D mesh
+            from tpugan.parallel import batch_sharding
+
+            self.mesh = mesh
+            self.state = shard_train_state(self.state, mesh)
+            self.batch_sharding = batch_sharding(mesh)
+        elif cfg.train.spatial_shards > 0 and mesh is None:
             import numpy as _np
             from jax.sharding import Mesh
 
