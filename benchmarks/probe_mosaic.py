@@ -1,6 +1,3 @@
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Probe which interleave formulations Mosaic (compiled Pallas TPU) accepts.
 
 The phase-decomposed transpose conv must merge 4 phase tensors into the
@@ -20,6 +17,10 @@ DESIGN.md §4 and the memory notes).
 
 Usage: python benchmarks/probe_mosaic.py   (on the TPU)
 """
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import functools
 import numpy as np

@@ -135,7 +135,6 @@ Trainer(cfg).train()
         f"{proc.returncode}\n{err[-2000:]}"
     assert "preempted at step" in out
     # the checkpoint it saved resumes to completion
-    cfg2 = _tiny_cfg(tmp, steps=None)  # placeholder; rebuild below
     cfg2 = get_preset("dcgan_mnist").override({
         "data.dataset": "synthetic", "data.batch_size": 8,
         "data.synthetic_size": 32, "model.ngf": 8, "model.ndf": 8,

@@ -291,6 +291,11 @@ def test_trainer_dp_x_spatial_wiring(tmp_path):
         assert dict(t.mesh.shape) == {"data": 4, "space": 2}
         m = t.train()
         assert np.isfinite(m["loss_d"]) and np.isfinite(m["loss_g"])
+        # train() must clear the global spatial context on exit (it would
+        # otherwise leak into unrelated Trainer instances in this process)
+        from tpugan.parallel.spatial import spatial_active
+
+        assert not spatial_active()
     finally:
         from tpugan.parallel.spatial import set_spatial_mesh
 

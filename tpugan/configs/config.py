@@ -141,8 +141,10 @@ class TrainConfig:
     halt_on_nonfinite: bool = False
     mesh_shape: Optional[int] = None  # data-parallel devices (None = all)
     # Spatial (H-axis) sharding over N devices for ≥256px feature maps
-    # (halo-exchange convs; parallel/spatial.py).  0 = off.  Mutually
-    # exclusive with data parallelism (pass mesh=None to the Trainer).
+    # (halo-exchange convs; parallel/spatial.py).  0 = off.  Composes with
+    # data parallelism: set mesh_shape too and the Trainer builds a 2-D
+    # ('data', 'space') mesh (mesh_shape x spatial_shards devices); alone
+    # it runs pure spatial over spatial_shards devices.
     spatial_shards: int = 0
     resume: str = ""  # checkpoint path/dir to resume from
 

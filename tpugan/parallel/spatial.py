@@ -225,8 +225,16 @@ def make_mesh_dp_spatial(n_data: int, n_space: int) -> Mesh:
     'space' (adjacent devices, so on hardware they are ICI neighbors)."""
     import numpy as np
 
-    devs = np.array(jax.devices()[:n_data * n_space])
-    return Mesh(devs.reshape(n_data, n_space), ("data", "space"))
+    if n_data < 1 or n_space < 1:
+        raise ValueError(f"mesh axes must be >= 1, got "
+                         f"({n_data} data, {n_space} space)")
+    devs = jax.devices()
+    if n_data * n_space > len(devs):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_space} space) needs "
+            f"{n_data * n_space} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n_data * n_space]).reshape(n_data, n_space),
+                ("data", "space"))
 
 
 # ---------------------------------------------------------------------------

@@ -57,8 +57,11 @@ class BatchingEngine:
         self._stop = threading.Event()
         self.stats = {"requests": 0, "images": 0, "batches": 0,
                       "padded_images": 0}
-        # last-1000 per-batch device latencies (worker-thread only writes)
+        # last-1000 per-batch device latencies; the worker appends while
+        # HTTP handler threads snapshot, so guard both with a lock (deque
+        # iteration during mutation raises RuntimeError)
         self._latencies_ms = collections.deque(maxlen=1000)
+        self._lat_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="tpugan-batcher")
         self._worker.start()
@@ -126,7 +129,8 @@ class BatchingEngine:
         return self.submit(z, y)
 
     def latency_summary(self) -> dict:
-        lat = sorted(self._latencies_ms)
+        with self._lat_lock:
+            lat = sorted(self._latencies_ms)
         if not lat:
             return {}
         q = lambda p: lat[min(int(p * len(lat)), len(lat) - 1)]  # noqa: E731
@@ -196,7 +200,9 @@ class BatchingEngine:
                             [ys, np.zeros((bucket - n,), np.int32)])
                 t0 = time.monotonic()
                 imgs = self.gen.generate(zs, ys)[:n]
-                self._latencies_ms.append((time.monotonic() - t0) * 1e3)
+                with self._lat_lock:
+                    self._latencies_ms.append(
+                        (time.monotonic() - t0) * 1e3)
             except Exception as e:
                 # fail only this batch; the worker must survive anything
                 for _, _, fut in items:

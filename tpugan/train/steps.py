@@ -47,7 +47,13 @@ def epoch_indices(data_root: jax.Array, step: jax.Array, bsz: int,
     run position ``p`` reads ``perm_{p // n}[p % n]``, a fresh permutation
     per epoch keyed on (config seed, epoch).  A batch straddles at most two
     epochs, so two permutations cover every element; positions derive from
-    ``state.step``, so the data order is resume-exact."""
+    ``state.step``, so the data order is resume-exact.  Requires
+    ``bsz <= n`` (more than two epochs per batch would need more
+    permutations — and a batch larger than the dataset is a config bug)."""
+    if bsz > n:
+        raise ValueError(
+            f"sampling='epoch' needs batch_size ({bsz}) <= dataset size "
+            f"({n}); a batch may straddle at most two epochs")
     pos = step * bsz + jnp.arange(bsz)
     epoch, r = pos // n, pos % n
     perm_a = jax.random.permutation(

@@ -56,13 +56,22 @@ def _on_preempt(signum, frame):
     _PREEMPTED.set()
 
 
-def _arm_preemption() -> bool:
+def _arm_preemption():
+    """Install the graceful handlers; returns the previous handlers dict
+    (to restore when training ends) or None off the main thread."""
     if threading.current_thread() is not threading.main_thread():
-        return False
+        return None
     _PREEMPTED.clear()
+    prev = {}
     for s in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(s, _on_preempt)
-    return True
+        prev[s] = signal.signal(s, _on_preempt)
+    return prev
+
+
+def _disarm_preemption(prev) -> None:
+    if prev:
+        for s, h in prev.items():
+            signal.signal(s, h)
 
 
 class Trainer:
@@ -122,6 +131,12 @@ class Trainer:
             devs = jax.devices()[:cfg.train.spatial_shards]
             self.spatial_mesh = Mesh(_np.array(devs), ("space",))
             set_spatial_mesh(self.spatial_mesh)
+        # fuse_stats guard, re-checked against the FINAL placement (the 2-D
+        # DP x spatial branch above may have built a multi-device mesh after
+        # the first check): the fused BN-stats path is single-chip only.
+        if ((self.mesh is not None and len(self.mesh.devices.flat) > 1)
+                or self.spatial_mesh is not None):
+            ops.set_fuse_stats("off")
         self._data = data  # injected dataset (tests); else loaded lazily
         self.logger: Optional[MetricsLogger] = None
 
@@ -222,84 +237,103 @@ class Trainer:
         profiling = False
         it = iter(pipeline)
         start_step = int(self.state.step)
-        preemptible = _arm_preemption()
+        prev_handlers = _arm_preemption()
+        preemptible = prev_handlers is not None
         preempted = False
-        # steps advanced per dispatch (scan-fused)
-        k = k_steps
-        for i in range(start_step, total_steps, k):
-            if preemptible and _PREEMPTED.is_set():
-                preempted = True
-                break
-            # optional profiler window (skip step 1: compile)
-            if cfg.train.profile_steps:
-                if i == start_step + k and not profiling:
-                    jax.profiler.start_trace(os.path.join(out_dir, "prof"))
-                    profiling = True
-                elif profiling and i >= start_step + k * (
-                        1 + cfg.train.profile_steps):
-                    jax.profiler.stop_trace()
-                    profiling = False
-            batch = next(it)
-            self.state, metrics = self.step_fn(self.state, batch)
-            imgs_since += cfg.data.batch_size * k
-            pending = metrics
+        if self.spatial_mesh is not None:
+            # (re-)install the spatial dispatch context for this run — it
+            # is cleared in the finally below so it cannot leak into other
+            # Trainer instances
+            from tpugan.parallel.spatial import set_spatial_mesh
 
-            step_no = i + k
-            if step_no % cfg.train.log_every < k or step_no >= total_steps:
-                host = {k: float(v) for k, v in
-                        jax.device_get(pending).items()}
-                dt = time.perf_counter() - t0
-                host["images_per_sec"] = imgs_since / max(dt, 1e-9)
-                logger.log(step_no, host)
-                last_metrics = host
-                if cfg.train.halt_on_nonfinite:
-                    bad = [k for k, v in host.items()
-                           if not np.isfinite(v)]
-                    if bad:
-                        self.save_checkpoint(ckpt)
-                        ckpt.close()
-                        logger.close()
-                        raise NonFiniteLossError(
-                            f"non-finite metrics {bad} at step {step_no}; "
-                            f"checkpoint saved to {cfg.train.ckpt_dir}")
-                t0 = time.perf_counter()
-                imgs_since = 0
+            set_spatial_mesh(self.spatial_mesh)
+        try:
+            # steps advanced per dispatch (scan-fused)
+            k = k_steps
+            for i in range(start_step, total_steps, k):
+                if preemptible and _PREEMPTED.is_set():
+                    preempted = True
+                    break
+                # optional profiler window (skip step 1: compile)
+                if cfg.train.profile_steps:
+                    if i == start_step + k and not profiling:
+                        jax.profiler.start_trace(os.path.join(out_dir, "prof"))
+                        profiling = True
+                    elif profiling and i >= start_step + k * (
+                            1 + cfg.train.profile_steps):
+                        jax.profiler.stop_trace()
+                        profiling = False
+                batch = next(it)
+                self.state, metrics = self.step_fn(self.state, batch)
+                imgs_since += cfg.data.batch_size * k
+                pending = metrics
 
-            if cfg.train.sample_every and (
-                    step_no % cfg.train.sample_every < k
-                    or step_no >= total_steps):
-                sampler.update(self._gen_params(), self.state.state_g)
-                imgs = sampler.sample_fixed(fixed_z, fixed_y)
-                grid = make_grid(to_uint8(imgs), nrow=8)
-                save_png(os.path.join(out_dir, f"samples_{step_no:07d}.png"),
-                         grid)
-                logger.log_image(step_no, "samples", grid)
+                step_no = i + k
+                if step_no % cfg.train.log_every < k or step_no >= total_steps:
+                    host = {k: float(v) for k, v in
+                            jax.device_get(pending).items()}
+                    dt = time.perf_counter() - t0
+                    host["images_per_sec"] = imgs_since / max(dt, 1e-9)
+                    logger.log(step_no, host)
+                    last_metrics = host
+                    if cfg.train.halt_on_nonfinite:
+                        bad = [k for k, v in host.items()
+                               if not np.isfinite(v)]
+                        if bad:
+                            self.save_checkpoint(ckpt)
+                            ckpt.close()
+                            logger.close()
+                            raise NonFiniteLossError(
+                                f"non-finite metrics {bad} at step {step_no}; "
+                                f"checkpoint saved to {cfg.train.ckpt_dir}")
+                    t0 = time.perf_counter()
+                    imgs_since = 0
 
-            if cfg.train.eval_every and step_no % cfg.train.eval_every < k:
-                from tpugan.eval import evaluate
+                if cfg.train.sample_every and (
+                        step_no % cfg.train.sample_every < k
+                        or step_no >= total_steps):
+                    sampler.update(self._gen_params(), self.state.state_g)
+                    imgs = sampler.sample_fixed(fixed_z, fixed_y)
+                    grid = make_grid(to_uint8(imgs), nrow=8)
+                    save_png(os.path.join(out_dir, f"samples_{step_no:07d}.png"),
+                             grid)
+                    logger.log_image(step_no, "samples", grid)
 
-                scores = evaluate(cfg, self.g, self._gen_params(),
-                                  self.state.state_g, seed=cfg.train.seed,
-                                  real_images=data["images"][:cfg.eval.fid_n])
-                logger.log(step_no,
-                           {k: v for k, v in scores.items()
-                            if isinstance(v, (int, float))}, prefix="eval")
-                t0 = time.perf_counter()  # don't count eval in images/sec
-                imgs_since = 0
+                if cfg.train.eval_every and step_no % cfg.train.eval_every < k:
+                    from tpugan.eval import evaluate
 
-            if cfg.train.ckpt_every and step_no % cfg.train.ckpt_every < k:
-                self.save_checkpoint(ckpt)
+                    scores = evaluate(cfg, self.g, self._gen_params(),
+                                      self.state.state_g, seed=cfg.train.seed,
+                                      real_images=data["images"][:cfg.eval.fid_n])
+                    logger.log(step_no,
+                               {k: v for k, v in scores.items()
+                                if isinstance(v, (int, float))}, prefix="eval")
+                    t0 = time.perf_counter()  # don't count eval in images/sec
+                    imgs_since = 0
 
-        if profiling:
-            jax.profiler.stop_trace()
-        self.save_checkpoint(ckpt)
-        ckpt.close()
-        logger.close()
-        if preempted:
-            print(f"preempted at step {int(self.state.step)}: checkpoint "
-                  f"saved to {cfg.train.ckpt_dir}; rerun with "
-                  f"train.resume={cfg.train.ckpt_dir!r} to continue")
-        return last_metrics
+                if cfg.train.ckpt_every and step_no % cfg.train.ckpt_every < k:
+                    self.save_checkpoint(ckpt)
+
+            if profiling:
+                jax.profiler.stop_trace()
+            self.save_checkpoint(ckpt)
+            ckpt.close()
+            logger.close()
+            if preempted:
+                print(f"preempted at step {int(self.state.step)}: checkpoint "
+                      f"saved to {cfg.train.ckpt_dir}; rerun with "
+                      f"train.resume={cfg.train.ckpt_dir!r} to continue")
+            return last_metrics
+        finally:
+            # always restore the process signal handlers (a swallowed
+            # SIGTERM after training would make the process unkillable
+            # gracefully) and drop the global spatial context so later
+            # Trainer instances in this process start clean
+            _disarm_preemption(prev_handlers)
+            if self.spatial_mesh is not None:
+                from tpugan.parallel.spatial import set_spatial_mesh
+
+                set_spatial_mesh(None)
 
     # -- public sampler handle ---------------------------------------------
     def sampler(self) -> Sampler:
