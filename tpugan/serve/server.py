@@ -308,11 +308,26 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
 
 def serve_forever(engine: BatchingEngine, host: str = "0.0.0.0",
                   port: int = 8000) -> None:
+    """Run until SIGTERM/SIGINT, then drain: stop accepting, finish
+    in-flight batches, close the engine — the production shutdown path."""
+    import signal
+
     srv = make_server(engine, host, port)
     print(f"tpugan serving on http://{host}:{srv.server_address[1]} "
-          f"(POST /sample, GET /healthz)")
+          f"(POST /sample, GET /healthz, GET /metrics)")
+
+    def _shutdown(signum, frame):
+        # shutdown() blocks until serve_forever returns — call it from a
+        # helper thread, not the signal handler's (main) thread
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    prev = {s: signal.signal(s, _shutdown)
+            for s in (signal.SIGTERM, signal.SIGINT)}
     try:
         srv.serve_forever()
+        print("tpugan server draining...")
     finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
         srv.server_close()
         engine.close()
