@@ -207,3 +207,24 @@ def test_graceful_preemption_in_process(tmp_path):
     # the preemption checkpoint is restorable
     t2 = Trainer(_tiny_cfg(tmp, steps=500))
     assert t2.restore(cfg2.train.ckpt_dir) == stopped_at
+
+
+def test_keep_best_checkpoint(tmp_path):
+    """train.keep_best: the best-proxy-FID weights land in ckpt_dir/best and
+    are restorable independently of the rolling 'latest' checkpoint."""
+    tmp = str(tmp_path)
+    cfg = _tiny_cfg(tmp, steps=6)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, eval_every=2, keep_best=True, ckpt_every=0))
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, fid_n=16, fid_batch=16))
+    t = Trainer(cfg)
+    t.train()
+    best_dir = os.path.join(cfg.train.ckpt_dir, "best")
+    assert os.path.isdir(best_dir)
+    t2 = Trainer(_tiny_cfg(tmp, steps=6))
+    best_step = t2.restore(best_dir)
+    assert 2 <= best_step <= 6
+    # eval log recorded the best_fid marker
+    with open(os.path.join(cfg.train.out_dir, "metrics.jsonl")) as f:
+        assert any('"eval/best_fid"' in ln or "best_fid" in ln for ln in f)

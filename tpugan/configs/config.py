@@ -102,6 +102,10 @@ class TrainConfig:
     sample_every: int = 500
     ckpt_every: int = 1000
     eval_every: int = 0  # FID/IS-proxy eval cadence (0 = only on demand)
+    # With eval_every: also keep the best-FID weights in ckpt_dir/best
+    # (GAN quality oscillates; 'latest' is the resume point, 'best' the
+    # deploy point).
+    keep_best: bool = False
     ckpt_dir: str = "runs/ckpt"
     out_dir: str = "runs/out"
     seed: int = 0

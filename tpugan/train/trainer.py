@@ -240,6 +240,9 @@ class Trainer:
         prev_handlers = _arm_preemption()
         preemptible = prev_handlers is not None
         preempted = False
+        best_ckpt = None
+        if not hasattr(self, "_best_fid"):
+            self._best_fid = float("inf")
         if self.spatial_mesh is not None:
             # (re-)install the spatial dispatch context for this run — it
             # is cleared in the finally below so it cannot leak into other
@@ -308,6 +311,19 @@ class Trainer:
                     logger.log(step_no,
                                {k: v for k, v in scores.items()
                                 if isinstance(v, (int, float))}, prefix="eval")
+                    if (cfg.train.keep_best
+                            and scores["fid"] < self._best_fid):
+                        # GAN quality oscillates — keep the best-FID weights
+                        # in a sibling dir (latest checkpoint stays the
+                        # resume point; 'best' is the deploy point)
+                        self._best_fid = scores["fid"]
+                        if best_ckpt is None:
+                            best_ckpt = CheckpointManager(
+                                os.path.join(cfg.train.ckpt_dir, "best"),
+                                max_to_keep=1)
+                        self.save_checkpoint(best_ckpt)
+                        logger.log(step_no, {"best_fid": scores["fid"]},
+                                   prefix="eval")
                     t0 = time.perf_counter()  # don't count eval in images/sec
                     imgs_since = 0
 
@@ -318,6 +334,8 @@ class Trainer:
                 jax.profiler.stop_trace()
             self.save_checkpoint(ckpt)
             ckpt.close()
+            if best_ckpt is not None:
+                best_ckpt.close()
             logger.close()
             if preempted:
                 print(f"preempted at step {int(self.state.step)}: checkpoint "
