@@ -91,3 +91,43 @@ def test_gradient_penalty_is_differentiable():
 
     g = jax.grad(loss)(1.0)
     assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_prdc_identical_sets_are_perfect():
+    from tpugan.eval.fid import prdc_from_features
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(200, 16))
+    r = prdc_from_features(feats, feats.copy(), k=5)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+    assert r["coverage"] == 1.0 and r["density"] >= 1.0
+
+
+def test_prdc_detects_mode_collapse_and_shift():
+    from tpugan.eval.fid import prdc_from_features
+
+    rng = np.random.default_rng(1)
+    real = rng.normal(size=(300, 8))
+    # mode collapse: fakes cluster at one point -> high precision-ish,
+    # terrible recall/coverage
+    collapsed = rng.normal(size=(300, 8)) * 0.01
+    r = prdc_from_features(real, collapsed, k=5)
+    assert r["recall"] < 0.2 and r["coverage"] < 0.2
+    # distribution shift far away -> everything near zero
+    shifted = real + 50.0
+    r2 = prdc_from_features(real, shifted, k=5)
+    assert r2["precision"] < 0.05 and r2["recall"] < 0.05
+    # healthy same-distribution fakes score high on all four
+    healthy = rng.normal(size=(300, 8))
+    r3 = prdc_from_features(real, healthy, k=5)
+    assert r3["precision"] > 0.7 and r3["recall"] > 0.7
+    assert r3["coverage"] > 0.7
+
+
+def test_prdc_requires_enough_samples():
+    import pytest
+
+    from tpugan.eval.fid import prdc_from_features
+
+    with pytest.raises(ValueError):
+        prdc_from_features(np.zeros((4, 3)), np.zeros((10, 3)), k=5)

@@ -158,6 +158,9 @@ class EvalConfig:
     fid_n: int = 10_000  # generated samples for FID
     fid_batch: int = 256
     metric: str = "proxy"  # proxy (local feature net) | inception (weights-gated)
+    # Also report precision/recall/density/coverage (PRDC) — manifold
+    # metrics separating fidelity from diversity, which FID conflates.
+    prdc: bool = False
     inception_weights: str = ""  # path to Inception pickle, if available
 
 

@@ -1,2 +1,6 @@
-from tpugan.eval.fid import fid_from_features, inception_score  # noqa: F401
+from tpugan.eval.fid import (  # noqa: F401
+    fid_from_features,
+    inception_score,
+    prdc_from_features,
+)
 from tpugan.eval.evaluate import evaluate  # noqa: F401

@@ -20,6 +20,7 @@ from tpugan.eval.fid import (
     fid_from_features,
     inception_score,
     kid_from_features,
+    prdc_from_features,
 )
 from tpugan.sample import Sampler
 
@@ -80,6 +81,9 @@ def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
     fid = fid_from_features(feat_real, feat_fake)
     kid, kid_std = kid_from_features(feat_real, feat_fake)
     is_mean, is_std = inception_score(probs_fake)
-    return {"fid": fid, "kid": kid, "kid_std": kid_std,
-            "is_mean": is_mean, "is_std": is_std,
-            "n": int(len(fake)), "backend": cfg.eval.metric}
+    out = {"fid": fid, "kid": kid, "kid_std": kid_std,
+           "is_mean": is_mean, "is_std": is_std,
+           "n": int(len(fake)), "backend": cfg.eval.metric}
+    if cfg.eval.prdc:
+        out.update(prdc_from_features(feat_real, feat_fake))
+    return out

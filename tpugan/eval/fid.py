@@ -71,3 +71,47 @@ def inception_score(probs: np.ndarray, splits: int = 10
         kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))
         scores.append(float(np.exp(kl.sum(1).mean())))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def prdc_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
+                       k: int = 5) -> dict:
+    """Precision / Recall / Density / Coverage (Kynkäänniemi et al. 2019;
+    Naeem et al. 2020): manifold-overlap metrics that separate fidelity
+    (precision, density) from diversity (recall, coverage) — FID conflates
+    the two.  k-NN radii define each set's manifold:
+
+    - precision: fraction of fakes inside SOME real point's k-NN ball
+    - recall:    fraction of reals inside SOME fake point's k-NN ball
+    - density:   mean number of real k-NN balls covering a fake, / k
+    - coverage:  fraction of reals whose k-NN ball contains SOME fake
+    """
+    fr = np.asarray(feat_real, np.float64)
+    ff = np.asarray(feat_fake, np.float64)
+    if min(len(fr), len(ff)) <= k:
+        raise ValueError(f"need more than k={k} samples per set, got "
+                         f"{len(fr)} real / {len(ff)} fake")
+
+    def _pairwise(a, b):
+        # (n, m) euclidean distances without materializing differences
+        aa = np.sum(a * a, axis=1)[:, None]
+        bb = np.sum(b * b, axis=1)[None, :]
+        d2 = np.maximum(aa + bb - 2.0 * (a @ b.T), 0.0)
+        return np.sqrt(d2)
+
+    def _knn_radius(a):
+        d = _pairwise(a, a)
+        # k-th nearest EXCLUDING self (self-distance 0 occupies slot 0)
+        return np.partition(d, k, axis=1)[:, k]
+
+    r_real = _knn_radius(fr)  # (n_real,)
+    r_fake = _knn_radius(ff)  # (n_fake,)
+    d_rf = _pairwise(fr, ff)  # (n_real, n_fake)
+
+    inside_real = d_rf < r_real[:, None]  # fake j inside real i's ball
+    precision = float(inside_real.any(axis=0).mean())
+    density = float(inside_real.sum(axis=0).mean() / k)
+    coverage = float((d_rf.min(axis=1) < r_real).mean())
+    inside_fake = d_rf < r_fake[None, :]  # real i inside fake j's ball
+    recall = float(inside_fake.any(axis=1).mean())
+    return {"precision": precision, "recall": recall,
+            "density": density, "coverage": coverage}
