@@ -314,3 +314,39 @@ def test_device_resident_epoch_sampling_trains():
     for _ in range(3):
         state, metrics = step(state, batch)
     assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_linear_lr_schedule_decays_to_zero():
+    """optim.schedule='linear': updates shrink over the run and stop at the
+    end (LR hits zero), while 'constant' keeps updating."""
+    import jax
+
+    def run(schedule):
+        cfg = get_preset("dcgan_mnist").override({
+            "data.dataset": "synthetic", "data.batch_size": 8,
+            "data.synthetic_size": 16, "model.ngf": 8, "model.ndf": 8,
+            "model.nz": 8, "train.precision": "fp32", "train.donate": False,
+            "train.total_steps": 8, "optim.schedule": schedule})
+        g, d = build_models(cfg.model, cfg.train.precision)
+        step = build_train_step(cfg, g, d)
+        state = create_train_state(cfg, g, d)
+        data = np.random.default_rng(0).integers(
+            0, 256, size=(8, 28, 28, 1)).astype(np.uint8)
+        deltas = []
+        for _ in range(8):
+            prev = jax.device_get(state.params_g)
+            state, _ = step(state, {"image": jnp.asarray(data)})
+            cur = jax.device_get(state.params_g)
+            deltas.append(max(float(np.abs(a - b).max()) for a, b in zip(
+                jax.tree.leaves(prev), jax.tree.leaves(cur))))
+        return deltas
+
+    lin = run("linear")
+    const = run("constant")
+    # decay begins at step 4 (decay_start_frac=0.5): the last executed
+    # update runs at 25% LR (LR hits zero only at count == total_steps),
+    # so it is well below both the pre-decay update and the constant run's
+    assert lin[-1] < 0.5 * lin[4], lin
+    assert lin[-1] < 0.6 * const[-1], (lin[-1], const[-1])
+    # constant LR never decays
+    assert const[-1] > 0.5 * const[4], const

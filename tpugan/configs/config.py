@@ -67,6 +67,10 @@ class OptimConfig:
     beta1: float = 0.5
     beta2: float = 0.999
     eps: float = 1e-8
+    # LR schedule: "constant" (the reference) or "linear" (decay to zero
+    # from decay_start_frac of total_steps — the pix2pix/CycleGAN recipe).
+    schedule: str = "constant"
+    decay_start_frac: float = 0.5
 
 
 @dataclass(frozen=True)

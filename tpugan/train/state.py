@@ -42,10 +42,26 @@ class TrainState:
 
 def make_optimizers(cfg: Config):
     o = cfg.optim
+
+    def sched(lr):
+        # Reference uses constant LR; linear decay-to-zero over the run's
+        # tail is the standard GAN extension (pix2pix/CycleGAN recipe).
+        if o.schedule == "constant":
+            return lr
+        if o.schedule == "linear":
+            total = cfg.train.total_steps
+            start = int(total * o.decay_start_frac)
+            return optax.linear_schedule(
+                init_value=lr, end_value=0.0,
+                transition_steps=max(total - start, 1),
+                transition_begin=start)
+        raise ValueError(f"unknown optim.schedule {o.schedule!r}")
+
     if o.optimizer == "adam":
-        mk = lambda lr: optax.adam(lr, b1=o.beta1, b2=o.beta2, eps=o.eps)
+        mk = lambda lr: optax.adam(sched(lr), b1=o.beta1, b2=o.beta2,
+                                   eps=o.eps)
     elif o.optimizer == "rmsprop":
-        mk = lambda lr: optax.rmsprop(lr)
+        mk = lambda lr: optax.rmsprop(sched(lr))
     else:
         raise ValueError(f"unknown optimizer {o.optimizer!r}")
     return mk(o.lr_g), mk(o.lr_d)
