@@ -169,6 +169,20 @@ def cmd_serve(args):
     serve_forever(engine, host=args.host, port=args.port)
 
 
+def cmd_bench(args):
+    # Delegate to the repo-root benchmark (kept as its own script so the
+    # driver can run it headless); this subcommand is the discoverable path.
+    import runpy
+    import sys as _sys
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    if not os.path.exists(bench):
+        raise SystemExit("bench.py not found (source checkout only)")
+    _sys.argv = [bench] + (args.rest or [])
+    runpy.run_path(bench, run_name="__main__")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpugan")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -215,10 +229,17 @@ def main(argv=None):
                    help="serve one endpoint over an N-chip data mesh "
                         "(requires --ckpt)")
 
-    args = ap.parse_args(argv)
+    sub.add_parser("bench", help="north-star throughput benchmark "
+                   "(flags pass through to bench.py, e.g. --quick)")
+
+    # bench forwards unknown flags to bench.py; other commands reject them
+    args, extra = ap.parse_known_args(argv)
+    if args.cmd != "bench" and extra:
+        ap.error(f"unrecognized arguments: {' '.join(extra)}")
+    args.rest = extra
     {"presets": cmd_presets, "train": cmd_train, "sample": cmd_sample,
-     "eval": cmd_eval, "export": cmd_export, "serve": cmd_serve}[args.cmd](
-        args)
+     "eval": cmd_eval, "export": cmd_export, "serve": cmd_serve,
+     "bench": cmd_bench}[args.cmd](args)
 
 
 if __name__ == "__main__":

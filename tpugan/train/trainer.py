@@ -353,6 +353,20 @@ class Trainer:
 
                 set_spatial_mesh(None)
 
+    # -- public eval handle --------------------------------------------------
+    def evaluate(self, seed: int = 0) -> Dict[str, float]:
+        """FID/KID/IS(+PRDC) of the current generator (EMA weights when
+        tracked) against the run's dataset — the reference's eval entry as
+        one call on the live Trainer."""
+        from tpugan.eval import evaluate as _evaluate
+
+        data = self._dataset()
+        real = data["images"]
+        if hasattr(real, "__getitem__"):
+            real = real[:self.cfg.eval.fid_n]
+        return _evaluate(self.cfg, self.g, self._gen_params(),
+                         self.state.state_g, seed=seed, real_images=real)
+
     # -- public sampler handle ---------------------------------------------
     def sampler(self) -> Sampler:
         return Sampler(self.cfg, self.g, self._gen_params(),
