@@ -8,6 +8,12 @@ the plain step.  To try the multi-device path without hardware:
         python examples/data_parallel_training.py --steps 20
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 
 import jax

@@ -11,6 +11,12 @@ To try without multi-chip hardware:
         python examples/train_256px_spatial.py --steps 4 --width 8
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 
 import jax
@@ -25,6 +31,9 @@ def main():
     ap.add_argument("--width", type=int, default=32,
                     help="ngf/ndf (use 8 for a quick CPU-mesh demo)")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--data-shards", type=int, default=0,
+                    help=">0 composes data parallelism with spatial on a "
+                         "2-D (data, space) mesh")
     args = ap.parse_args()
 
     n = len(jax.devices())
@@ -36,7 +45,9 @@ def main():
         "train.total_steps": args.steps,
         "train.log_every": max(args.steps // 5, 1),
         "train.sample_every": 0, "train.ckpt_every": 0,
-        "train.spatial_shards": min(8, n),
+        "train.spatial_shards": (min(4, n // args.data_shards)
+                                 if args.data_shards else min(8, n)),
+        "train.mesh_shape": args.data_shards or None,
     })
     print(Trainer(cfg).train())
 

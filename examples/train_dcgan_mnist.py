@@ -5,6 +5,12 @@ Equivalent of the reference's `main_dcgan.py --dataset mnist` entry point.
     python examples/train_dcgan_mnist.py [--steps 5000] [--data-dir data]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import dataclasses
 import os

@@ -6,6 +6,12 @@ single compiled train step; n_critic=5 critic steps per generator step.
     python examples/train_wgan_gp_cifar10.py [--steps 20000]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import dataclasses
 import os
