@@ -334,3 +334,22 @@ def test_engine_soak_concurrent_load(unconditional):
         assert engine.latency_summary()["p50_ms"] > 0
     finally:
         engine.close()
+
+
+def test_exported_call_composes_under_jit(unconditional):
+    """Exported.call is traceable: compose it inside a larger jitted
+    program (the bulk-generation / benchmarking pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    _, _, _, exported = unconditional
+
+    @jax.jit
+    def checksum(z):
+        return jnp.sum(exported._exported.call(z))
+
+    z = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, exported.nz)).astype(np.float32))
+    direct = float(np.sum(exported.generate(z)))
+    composed = float(checksum(z))
+    np.testing.assert_allclose(composed, direct, rtol=1e-4)

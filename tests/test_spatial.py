@@ -300,3 +300,40 @@ def test_trainer_dp_x_spatial_wiring(tmp_path):
         from tpugan.parallel.spatial import set_spatial_mesh
 
         set_spatial_mesh(None)
+
+
+def test_dp_x_spatial_checkpoint_resume(tmp_path):
+    """Checkpoint/resume through the 2-D DP x spatial Trainer: restore
+    reshards onto the ('data','space') mesh and training continues."""
+    import dataclasses
+
+    from tpugan.configs import get_preset
+    from tpugan.train import Trainer
+
+    def cfg_for(steps):
+        cfg = get_preset("dcgan_256_spatial").override({
+            "model.image_size": 64, "model.ngf": 8, "model.ndf": 8,
+            "model.nz": 8, "data.dataset": "synthetic", "data.batch_size": 4,
+            "data.synthetic_size": 16, "data.hflip": False,
+            "train.precision": "fp32", "train.total_steps": steps,
+            "train.log_every": 100, "train.sample_every": 0,
+            "train.ckpt_every": 2, "train.spatial_shards": 2,
+            "train.mesh_shape": 2,
+        })
+        return dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ckpt_dir=str(tmp_path / "ckpt"),
+            out_dir=str(tmp_path / "out")))
+
+    try:
+        Trainer(cfg_for(2)).train()
+        cfg2 = cfg_for(4)
+        cfg2 = dataclasses.replace(cfg2, train=dataclasses.replace(
+            cfg2.train, resume=cfg2.train.ckpt_dir))
+        t2 = Trainer(cfg2)
+        m = t2.train()
+        assert int(t2.state.step) == 4
+        assert np.isfinite(m["loss_d"])
+    finally:
+        from tpugan.parallel.spatial import set_spatial_mesh
+
+        set_spatial_mesh(None)

@@ -61,3 +61,25 @@ def test_cli_train_with_mesh_shape(tmp_path, capsys):
     out = capsys.readouterr().out
     final = json.loads(out.strip().splitlines()[-1])
     assert np.isfinite(final["final"]["loss_d"])
+
+
+def test_fast_preset_flag_combination(tmp_path):
+    """dcgan_celeba64_fast combines FusedProp + device-resident data +
+    scan-fused dispatch; the full Trainer runs the combination."""
+    import dataclasses
+
+    from tpugan.configs import get_preset
+    from tpugan.train import Trainer
+
+    cfg = get_preset("dcgan_celeba64_fast").override({
+        "data.dataset": "synthetic", "data.synthetic_size": 32,
+        "data.batch_size": 8, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "train.precision": "fp32",
+        "train.steps_per_call": 2, "train.total_steps": 4,
+        "train.log_every": 2, "train.sample_every": 0,
+        "train.ckpt_every": 0})
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out")))
+    m = Trainer(cfg).train()
+    assert np.isfinite(m["loss_d"]) and np.isfinite(m["loss_g"])
