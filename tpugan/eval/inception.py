@@ -22,7 +22,11 @@ i.e. ``count_include_pad=False`` — this matches the pytorch-fid **FID
 network** (its FIDInceptionA/C/E overrides), which is the checkpoint this
 module targets; stock torchvision InceptionV3 differs here
 (count_include_pad=True), so do not score against torchvision-trained
-weights without adjusting ``_avgpool``.
+weights without adjusting ``_avgpool``.  A second FID-checkpoint quirk:
+Mixed_7c's pool branch is a stride-1 MAX pool (FIDInceptionE_2), not an
+average pool.  Both quirks are cross-validated numerically against an
+independent bare-torch twin (tpugan/parity/inception_torch.py,
+tests/test_inception_parity.py).
 """
 
 from __future__ import annotations
@@ -125,7 +129,7 @@ def _inception_d(params, path, x):
     return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
-def _inception_e(params, path, x):
+def _inception_e(params, path, x, pool="avg"):
     b1 = _conv_bn(params, f"{path}.branch1x1", x)
     b3 = _conv_bn(params, f"{path}.branch3x3_1", x)
     b3a = _conv_bn(params, f"{path}.branch3x3_2a", b3, padding=(0, 1))
@@ -136,7 +140,15 @@ def _inception_e(params, path, x):
     bda = _conv_bn(params, f"{path}.branch3x3dbl_3a", bd, padding=(0, 1))
     bdb = _conv_bn(params, f"{path}.branch3x3dbl_3b", bd, padding=(1, 0))
     bd = jnp.concatenate([bda, bdb], axis=-1)
-    bp = _avgpool(x)
+    if pool == "max":
+        # FIDInceptionE_2 quirk: the TF-ported FID checkpoint's *second*
+        # InceptionE block (Mixed_7c) uses a stride-1 padded MAX pool in its
+        # pool branch where every other Inception implementation averages.
+        bp = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                               (1, 1, 1, 1),
+                               [(0, 0), (1, 1), (1, 1), (0, 0)])
+    else:
+        bp = _avgpool(x)
     bp = _conv_bn(params, f"{path}.branch_pool", bp)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -159,7 +171,7 @@ def forward(params: Dict, images) -> Tuple[jax.Array, jax.Array]:
         x = _inception_c(params, blk, x)
     x = _inception_d(params, "Mixed_7a", x)                  # 8
     x = _inception_e(params, "Mixed_7b", x)
-    x = _inception_e(params, "Mixed_7c", x)                  # 8x8x2048
+    x = _inception_e(params, "Mixed_7c", x, pool="max")      # 8x8x2048
     feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2))      # (N, 2048)
     logits = feat @ params["fc"]["w"] + params["fc"]["b"]
     return feat, logits
