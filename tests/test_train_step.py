@@ -350,3 +350,43 @@ def test_linear_lr_schedule_decays_to_zero():
     assert lin[-1] < 0.6 * const[-1], (lin[-1], const[-1])
     # constant LR never decays
     assert const[-1] > 0.5 * const[4], const
+
+
+def test_linear_lr_schedule_decays_g_under_n_critic():
+    """With n_critic>1 G's optax update count advances 1/n_critic as fast as
+    the trainer step; the schedule must be rescaled into that count domain or
+    G's LR never reaches its decay window (it did not, pre-fix).  Assert G's
+    *last* update is visibly smaller than its first under schedule='linear'
+    with n_critic=5, and not under 'constant'."""
+    import jax
+
+    def g_deltas(schedule):
+        cfg = get_preset("dcgan_mnist").override({
+            "data.dataset": "synthetic", "data.batch_size": 8,
+            "data.synthetic_size": 16, "model.ngf": 8, "model.ndf": 8,
+            "model.nz": 8, "train.precision": "fp32", "train.donate": False,
+            "train.total_steps": 20, "optim.schedule": schedule,
+            "loss.kind": "wgan", "loss.n_critic": 5})
+        g, d = build_models(cfg.model, cfg.train.precision)
+        step = build_train_step(cfg, g, d)
+        state = create_train_state(cfg, g, d)
+        data = np.random.default_rng(0).integers(
+            0, 256, size=(8, 28, 28, 1)).astype(np.uint8)
+        deltas = []  # G-param step size at each of the 4 G updates
+        for i in range(20):
+            prev = jax.device_get(state.params_g)
+            state, _ = step(state, {"image": jnp.asarray(data)})
+            if i % 5 == 4:
+                cur = jax.device_get(state.params_g)
+                deltas.append(max(
+                    float(np.abs(a - b).max()) for a, b in zip(
+                        jax.tree.leaves(prev), jax.tree.leaves(cur))))
+        assert len(deltas) == 4
+        return deltas
+
+    lin = g_deltas("linear")
+    const = g_deltas("constant")
+    # G count domain is total//5 = 4, decay begins at count 2: the 4th G
+    # update runs at 50% LR while the first two run at full LR.
+    assert lin[-1] < 0.75 * lin[0], lin
+    assert const[-1] > 0.75 * const[0], const

@@ -43,13 +43,21 @@ class TrainState:
 def make_optimizers(cfg: Config):
     o = cfg.optim
 
-    def sched(lr):
+    def sched(lr, every=1):
         # Reference uses constant LR; linear decay-to-zero over the run's
         # tail is the standard GAN extension (pix2pix/CycleGAN recipe).
+        #
+        # optax schedules are evaluated at the optimizer's own update count,
+        # which for G advances only on every n_critic-th trainer step (its
+        # update is skipped inside lax.cond otherwise).  `every` converts the
+        # trainer-step decay window into that optimizer's count domain so
+        # G's decay tracks wall steps like D's does — without it, G's count
+        # tops out at total/n_critic, below decay_start, and G's LR would
+        # never decay while D's goes to zero.
         if o.schedule == "constant":
             return lr
         if o.schedule == "linear":
-            total = cfg.train.total_steps
+            total = max(cfg.train.total_steps // every, 1)
             start = int(total * o.decay_start_frac)
             return optax.linear_schedule(
                 init_value=lr, end_value=0.0,
@@ -58,13 +66,13 @@ def make_optimizers(cfg: Config):
         raise ValueError(f"unknown optim.schedule {o.schedule!r}")
 
     if o.optimizer == "adam":
-        mk = lambda lr: optax.adam(sched(lr), b1=o.beta1, b2=o.beta2,
-                                   eps=o.eps)
+        mk = lambda lr, every=1: optax.adam(
+            sched(lr, every), b1=o.beta1, b2=o.beta2, eps=o.eps)
     elif o.optimizer == "rmsprop":
-        mk = lambda lr: optax.rmsprop(sched(lr))
+        mk = lambda lr, every=1: optax.rmsprop(sched(lr, every))
     else:
         raise ValueError(f"unknown optimizer {o.optimizer!r}")
-    return mk(o.lr_g), mk(o.lr_d)
+    return mk(o.lr_g, every=max(cfg.loss.n_critic, 1)), mk(o.lr_d)
 
 
 def create_train_state(cfg: Config, g: Module, d: Module,
