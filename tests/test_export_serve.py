@@ -294,7 +294,7 @@ def test_http_label_length_and_format_rejected_before_generation(server):
     port, _ = server
     status, _, body = _post(port, "/sample",
                             {"n": 2, "labels": [1], "format": "npy"})
-    assert status == 400 and b"labels length" in body
+    assert status == 400 and b"labels" in body  # rejected pre-generation
     status, _, body = _post(port, "/sample", {"n": 1, "format": "bmp"})
     assert status == 400 and b"unknown format" in body
 
@@ -353,3 +353,82 @@ def test_exported_call_composes_under_jit(unconditional):
     direct = float(np.sum(exported.generate(z)))
     composed = float(checksum(z))
     np.testing.assert_allclose(composed, direct, rtol=1e-4)
+
+
+def test_engine_backpressure_sheds_overload(unconditional):
+    """Bounded queue: when pending requests hit queue_depth, submit() raises
+    EngineOverloadedError fast instead of queueing unboundedly (HTTP 503)."""
+    import time as _time
+
+    from tpugan.serve import EngineOverloadedError
+
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=4, linger_ms=1.0,
+                            queue_depth=3)
+    try:
+        # stall the device path so the queue backs up deterministically
+        orig = engine.gen.generate
+        release = threading.Event()
+
+        def slow_generate(*a, **k):
+            release.wait(timeout=30)
+            return orig(*a, **k)
+
+        engine.gen.generate = slow_generate
+        futs = [engine.sample(1, seed=s) for s in range(3)]  # 1 in worker +
+        # queue_depth more may be admitted; overflow must reject quickly
+        t0 = _time.monotonic()
+        with pytest.raises(EngineOverloadedError):
+            for s in range(3, 20):
+                futs.append(engine.sample(1, seed=s))
+        assert _time.monotonic() - t0 < 5.0, "rejection was not fast"
+        release.set()
+        for f in futs:  # everything admitted still completes
+            assert f.result(timeout=60).shape[0] == 1
+    finally:
+        release.set()
+        engine.gen.generate = orig
+        engine.close()
+
+
+def test_engine_close_fails_pending_futures(unconditional):
+    """Requests still queued (or parked in _carry) at close() error out fast
+    with 'engine closed' instead of blocking until the request timeout."""
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=2, linger_ms=1.0,
+                            queue_depth=64)
+    orig = engine.gen.generate
+    release = threading.Event()
+
+    def slow_generate(*a, **k):
+        release.wait(timeout=30)
+        return orig(*a, **k)
+
+    engine.gen.generate = slow_generate
+    futs = [engine.sample(1, seed=s) for s in range(8)]
+    release.set()  # let the in-flight batch finish so close() can join
+    engine.close()
+    resolved = 0
+    for f in futs:
+        try:
+            f.result(timeout=5)
+            resolved += 1
+        except RuntimeError as e:
+            assert "engine closed" in str(e)
+    # at least the batches the worker never reached must have been failed
+    # fast (not timed out), and none may still be pending
+    assert all(f.done() for f in futs)
+    assert resolved < len(futs)
+
+
+def test_http_validation_nrow_and_labels(server):
+    """Request validation happens BEFORE device work: bad nrow and bad
+    labels are 400s with JSON bodies, never 500s/dropped connections."""
+    port, _ = server
+    status, ctype, body = _post(port, "/sample", {"n": 4, "nrow": 0})
+    assert status == 400 and b"nrow" in body
+    status, _, body = _post(port, "/sample", {"n": 2, "labels": [0, 1]})
+    assert status == 400 and b"labels" in body  # unconditional model
+    status, _, body = _post(port, "/sample",
+                            {"n": 2, "labels": ["x", "y"]})
+    assert status == 400

@@ -165,7 +165,9 @@ def cmd_serve(args):
 
             gen = load_generator(export_generator(cfg, g, params, state_g))
     engine = BatchingEngine(gen, max_batch=args.max_batch,
-                            linger_ms=args.linger_ms)
+                            linger_ms=args.linger_ms,
+                            queue_depth=args.queue_depth,
+                            request_timeout_s=args.request_timeout_s)
     serve_forever(engine, host=args.host, port=args.port)
 
 
@@ -225,6 +227,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--linger-ms", type=float, default=2.0)
+    p.add_argument("--queue-depth", type=int, default=256,
+                   help="pending-request cap; overflow sheds with 503")
+    p.add_argument("--request-timeout-s", type=float, default=120.0)
     p.add_argument("--shards", type=int, default=0,
                    help="serve one endpoint over an N-chip data mesh "
                         "(requires --ckpt)")

@@ -1,5 +1,6 @@
 from tpugan.serve.server import (  # noqa: F401
     BatchingEngine,
+    EngineOverloadedError,
     make_server,
     serve_forever,
 )

@@ -44,15 +44,24 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+class EngineOverloadedError(RuntimeError):
+    """Raised by submit() when the request queue is full (backpressure);
+    the HTTP layer maps it to a fast 503 instead of queueing unboundedly."""
+
+
 class BatchingEngine:
     """Coalesce concurrent generation requests into padded device batches."""
 
     def __init__(self, gen: ExportedGenerator, max_batch: int = 64,
-                 linger_ms: float = 2.0):
+                 linger_ms: float = 2.0, queue_depth: int = 256,
+                 request_timeout_s: float = 120.0):
         self.gen = gen
         self.max_batch = int(max_batch)
         self.linger_s = float(linger_ms) / 1e3
-        self._q: "queue.Queue" = queue.Queue()
+        self.request_timeout_s = float(request_timeout_s)
+        # Bounded: under sustained overload requests shed with a fast
+        # EngineOverloadedError (HTTP 503) instead of piling up in RAM.
+        self._q: "queue.Queue" = queue.Queue(maxsize=int(queue_depth))
         self._carry = None  # worker-only: item deferred to the next batch
         self._stop = threading.Event()
         self.stats = {"requests": 0, "images": 0, "batches": 0,
@@ -96,11 +105,17 @@ class BatchingEngine:
         futs = [self._enqueue(zc, yc) for zc, yc in chunks]
         outer: "Future[np.ndarray]" = Future()
 
+        # add_done_callback runs INLINE in the submitting thread when the
+        # future already completed, so two threads can race here; the last
+        # decrement of the lock-guarded counter finishes outer exactly once.
+        remaining = [len(futs)]
+        finish_lock = threading.Lock()
+
         def _maybe_finish(_):
-            # done-callbacks fire in the single worker thread, so this is
-            # serialized; the outer.done() guard keeps it idempotent anyway
-            if outer.done() or not all(f.done() for f in futs):
-                return
+            with finish_lock:
+                remaining[0] -= 1
+                if remaining[0] > 0:
+                    return
             errs = [f.exception() for f in futs if f.exception()]
             if errs:
                 outer.set_exception(errs[0])
@@ -114,8 +129,14 @@ class BatchingEngine:
 
     def _enqueue(self, z: np.ndarray, y: Optional[np.ndarray]
                  ) -> "Future[np.ndarray]":
+        if self._stop.is_set():
+            raise RuntimeError("engine closed")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((z, y, fut))
+        try:
+            self._q.put_nowait((z, y, fut))
+        except queue.Full:
+            raise EngineOverloadedError(
+                f"request queue full ({self._q.maxsize} pending)") from None
         return fut
 
     def sample(self, n: int, seed: int = 0,
@@ -139,8 +160,26 @@ class BatchingEngine:
 
     def close(self) -> None:
         self._stop.set()
-        self._q.put(None)
-        self._worker.join(timeout=10)
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass  # worker will see _stop after its current batch
+        self._worker.join(timeout=30)
+        # Fail any request the worker never got to (still queued, or parked
+        # in _carry) so its HTTP thread errors out fast instead of blocking
+        # until the future timeout.
+        leftovers = [] if self._carry is None else [self._carry]
+        self._carry = None
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                leftovers.append(item)
+        for _, _, fut in leftovers:
+            if not fut.done():
+                fut.set_exception(RuntimeError("engine closed"))
 
     # -- worker -------------------------------------------------------------
 
@@ -167,7 +206,10 @@ class BatchingEngine:
             except queue.Empty:
                 break
             if item is None:
-                self._q.put(None)  # re-signal stop after this batch
+                try:  # re-signal stop after this batch (best-effort: _stop
+                    self._q.put_nowait(None)  # is already set by close())
+                except queue.Full:
+                    pass
                 break
             if total + item[0].shape[0] > self.max_batch:
                 self._carry = item
@@ -273,16 +315,39 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError(f"n out of range: {n}")
             seed = int(req.get("seed", 0))
             labels = req.get("labels")
-            if labels is not None and len(labels) != n:
-                raise ValueError(f"labels length {len(labels)} != n {n}")
+            if labels is not None:
+                if not self.engine.gen.conditional:
+                    raise ValueError("unconditional model: labels not "
+                                     "accepted")
+                if len(labels) != n:
+                    raise ValueError(f"labels length {len(labels)} != n {n}")
+                labels = [int(v) for v in labels]  # non-numeric -> 400 here
+                n_classes = self.engine.gen.n_classes
+                bad = [v for v in labels if not 0 <= v < n_classes]
+                if bad:
+                    raise ValueError(
+                        f"labels out of range [0, {n_classes}): {bad[:5]}")
             fmt = req.get("format", "png")
             if fmt not in ("png", "npy"):
                 raise ValueError(f"unknown format {fmt!r}")
+            nrow = int(req.get("nrow", 8))
+            if nrow < 1:
+                raise ValueError(f"nrow must be >= 1, got {nrow}")
         except Exception as e:
             self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
             return
         try:
-            imgs = self.engine.sample(n, seed, labels).result(timeout=600)
+            imgs = self.engine.sample(n, seed, labels).result(
+                timeout=self.engine.request_timeout_s)
+        except EngineOverloadedError as e:
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         except Exception as e:
             self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -293,7 +358,6 @@ class _Handler(BaseHTTPRequestHandler):
         else:  # png (fmt pre-validated above)
             from tpugan.utils.images import encode_png, make_grid, to_uint8
 
-            nrow = int(req.get("nrow", 8))
             grid = make_grid(to_uint8(imgs), nrow=min(nrow, n))
             self._reply(200, encode_png(grid), "image/png")
 
