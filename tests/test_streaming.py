@@ -124,3 +124,41 @@ def test_device_resident_rejects_streaming(image_folder, tmp_path):
                                   out_dir=str(tmp_path / "o")))
     with pytest.raises(ValueError, match="streaming"):
         Trainer(cfg).train()
+
+
+def test_eval_decodes_once_on_streaming(image_folder):
+    """evaluate() on a StreamingImageFolder keys its real-feature cache on
+    dataset identity BEFORE decoding: the first eval decodes fid_n images,
+    every later eval (keep_best / eval_every ticks) decodes zero."""
+    import dataclasses
+
+    import jax
+
+    from tpugan.configs import get_preset
+    from tpugan.eval import evaluate
+    from tpugan.eval.evaluate import _REAL_FEAT_CACHE
+    from tpugan.models import build_models
+
+    cfg = get_preset("dcgan_celeba64").override({
+        "model.image_size": 32, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "train.precision": "fp32"})
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, fid_n=8, fid_batch=8))
+    g, _ = build_models(cfg.model, cfg.train.precision)
+    params_g, state_g = g.init(jax.random.PRNGKey(0))
+
+    stream = load_dataset("celeba", image_folder, image_size=16, channels=3,
+                          streaming="on")
+    s = stream["images"]
+    _REAL_FEAT_CACHE.clear()
+    assert s.decoded_count == 0
+
+    r1 = evaluate(cfg, g, params_g, state_g, seed=0, real_images=s)
+    first = s.decoded_count
+    assert first == 8  # exactly the fid_n slice, once
+
+    r2 = evaluate(cfg, g, params_g, state_g, seed=0, real_images=s)
+    r3 = evaluate(cfg, g, params_g, state_g, seed=1, real_images=s)
+    assert s.decoded_count == first, "repeat eval re-decoded the real set"
+    assert r1["fid"] == r2["fid"]
+    assert np.isfinite(r3["fid"])

@@ -157,6 +157,20 @@ class StreamingImageFolder:
     def __len__(self) -> int:
         return len(self.files)
 
+    def fingerprint(self) -> str:
+        """Dataset identity WITHOUT decoding: root + file list + geometry.
+        Lets the eval real-feature cache key on the dataset before any
+        JPEG is touched, so repeated keep_best/eval_every ticks cost zero
+        decodes after the first."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(self.root.encode())
+        for f in self.files:
+            h.update(f.encode())
+        h.update(str(self.image_size).encode())
+        return h.hexdigest()
+
     def _ensure_pool(self):
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor

@@ -9,6 +9,7 @@ backend) in memory for repeated eval calls during training.
 from __future__ import annotations
 
 import hashlib
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import numpy as np
@@ -24,7 +25,24 @@ from tpugan.eval.fid import (
 )
 from tpugan.sample import Sampler
 
-_REAL_FEAT_CACHE: dict = {}
+# Bounded LRU: each entry is ~fid_n x 2048 floats (~80 MB at defaults), and a
+# long-lived process may evaluate several datasets/slices — cap, don't leak.
+_REAL_FEAT_CACHE: OrderedDict = OrderedDict()
+_REAL_FEAT_CACHE_MAX = 4
+
+
+def _cache_get(key):
+    if key in _REAL_FEAT_CACHE:
+        _REAL_FEAT_CACHE.move_to_end(key)
+        return _REAL_FEAT_CACHE[key]
+    return None
+
+
+def _cache_put(key, value):
+    _REAL_FEAT_CACHE[key] = value
+    _REAL_FEAT_CACHE.move_to_end(key)
+    while len(_REAL_FEAT_CACHE) > _REAL_FEAT_CACHE_MAX:
+        _REAL_FEAT_CACHE.popitem(last=False)
 
 
 def _array_fingerprint(a: np.ndarray) -> tuple:
@@ -53,30 +71,37 @@ def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
     feat_fake, probs_fake = extractor(fake, batch=bs)
 
     if real_images is None:
-        data = None
         key = ("dataset", cfg.data.dataset, cfg.model.image_size,
                cfg.eval.metric, cfg.eval.inception_weights, n)
-        if key not in _REAL_FEAT_CACHE:
+        if _cache_get(key) is None:
             data = load_dataset(
                 cfg.data.dataset, cfg.data.data_dir,
                 image_size=cfg.model.image_size, channels=cfg.model.channels,
                 synthetic_size=cfg.data.synthetic_size, seed=cfg.train.seed,
                 n_classes=cfg.model.n_classes)
             real_images = data["images"][:n].astype(np.float32) / 127.5 - 1.0
+    elif hasattr(real_images, "fingerprint"):
+        # Streaming dataset: key on its identity BEFORE decoding anything —
+        # a cache hit costs zero JPEG decodes (the production
+        # streaming + keep_best combination evaluates every eval_every tick).
+        key = ("stream", real_images.fingerprint(), min(n, len(real_images)),
+               cfg.eval.metric, cfg.eval.inception_weights)
+        if _cache_get(key) is None:
+            real_images = np.asarray(
+                real_images[:n], np.float32) / 127.5 - 1.0
     else:
-        real_images = np.asarray(real_images)
+        real_images = np.asarray(real_images)[:n]
         key = ("passed", _array_fingerprint(real_images),
                cfg.eval.metric, cfg.eval.inception_weights)
-        if key not in _REAL_FEAT_CACHE:
+        if _cache_get(key) is None:
             real_images = real_images.astype(np.float32)
             if real_images.max() > 1.5:  # uint8-range input
                 real_images = real_images / 127.5 - 1.0
 
-    if key in _REAL_FEAT_CACHE:
-        feat_real = _REAL_FEAT_CACHE[key]
-    else:
+    feat_real = _cache_get(key)
+    if feat_real is None:
         feat_real, _ = extractor(real_images, batch=bs)
-        _REAL_FEAT_CACHE[key] = feat_real
+        _cache_put(key, feat_real)
 
     fid = fid_from_features(feat_real, feat_fake)
     kid, kid_std = kid_from_features(feat_real, feat_fake)

@@ -49,19 +49,27 @@ def _proxy_params(channels: int):
     return params, head
 
 
-_EXTRACTOR_CACHE: dict = {}
+from collections import OrderedDict  # noqa: E402
+
+_EXTRACTOR_CACHE: OrderedDict = OrderedDict()
+_EXTRACTOR_CACHE_MAX = 4  # inception params are ~100 MB each — bound, not leak
 
 
 def make_extractor(channels: int, backend: str = "proxy",
                    weights_path: str = ""):
     """Return f(images_f32 in [-1,1], NHWC) -> (features, probs) on host.
 
-    Cached per (channels, backend, weights_path) so repeated eval calls
-    (e.g. every ``train.eval_every``) reuse the compiled feature network."""
+    Cached (bounded LRU) per (channels, backend, weights_path) so repeated
+    eval calls (e.g. every ``train.eval_every``) reuse the compiled
+    feature network."""
     key = (channels, backend, weights_path)
-    if key not in _EXTRACTOR_CACHE:
+    if key in _EXTRACTOR_CACHE:
+        _EXTRACTOR_CACHE.move_to_end(key)
+    else:
         _EXTRACTOR_CACHE[key] = _make_extractor(channels, backend,
                                                 weights_path)
+        while len(_EXTRACTOR_CACHE) > _EXTRACTOR_CACHE_MAX:
+            _EXTRACTOR_CACHE.popitem(last=False)
     return _EXTRACTOR_CACHE[key]
 
 
