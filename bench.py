@@ -1,18 +1,21 @@
-"""North-star benchmark: generator images/sec/chip at 64×64.
+"""North-star benchmark: generator images/sec/chip at 64×64 AND 128×128.
 
 Measures (a) the PyTorch-CPU reference generator loop (the denominator —
 BASELINE.json defines the target as ≥5× this; the reference repo publishes no
 numbers and runs on CPU torch), and (b) the tpugan jitted generator on
 whatever device JAX selects (the v5e chip under the driver; CPU in offline
-dev).  Prints ONE JSON line:
+dev).  Prints ONE JSON line carrying BOTH judged axes (BASELINE.json's
+metric is defined at 64x64 and 128x128):
 
     {"metric": "gen_images_per_sec_64x64", "value": ..., "unit":
-     "images/sec/chip", "vs_baseline": value / torch_cpu_value}
+     "images/sec/chip", "vs_baseline": value / torch_cpu_value,
+     "extra": {"gen_images_per_sec_128x128": {"value": ...,
+               "vs_baseline": ...}}}
 
-Extra detail (per-batch-size numbers, 128×128 axis, device info) goes to
-stderr only.
+Per-batch-size detail and device info go to stderr only.
 
 Usage: python bench.py [--image-size 64] [--steps 20] [--quick]
+(--image-size restricts to one axis; default measures both)
 """
 
 from __future__ import annotations
@@ -164,9 +167,48 @@ def bench_tpugan(image_size: int, batch: int, steps: int,
     return batch / per_iter
 
 
+def bench_one_size(image_size: int, args) -> dict:
+    """Measure one image-size axis: torch-CPU denominator + tpugan sweep."""
+    torch_ips = bench_torch_cpu(image_size, args.torch_batch,
+                                args.torch_steps)
+    log(f"torch-cpu reference @{image_size}: {torch_ips:.1f} images/s")
+
+    best, best_batch, best_impl = 0.0, 0, ""
+    # 2048 measured slower than 1024 (604k vs 654k); keep the winning sweep.
+    batches = (512, 1024) if image_size == 64 else (128, 256)
+    if args.quick:  # CPU-sanity scale; the judged numbers use the full sweep
+        batches = (64,) if image_size == 64 else (32,)
+    # The Pallas megakernels are correctness-tested but measured slower than
+    # XLA and their compiles crash inside benchmark chains on this toolchain
+    # (DESIGN.md §4) — excluded from the headline sweep; measure them with
+    # benchmarks/ scripts instead.
+    for impl, bs in (("xla", batches),):
+        for batch in bs:
+            try:
+                ips = bench_tpugan(image_size, batch, args.steps,
+                                   impl=impl)
+            except Exception as e:  # OOM/unsupported: keep best so far
+                log(f"tpugan {impl} batch {batch}: failed "
+                    f"({type(e).__name__}: {e})")
+                continue
+            log(f"tpugan {impl} @{image_size} batch {batch}: "
+                f"{ips:.1f} images/s")
+            if ips > best:
+                best, best_batch, best_impl = ips, batch, impl
+
+    log(f"best @{image_size}: {best_impl} batch {best_batch}: "
+        f"{best:.1f} images/s ({best / torch_ips:.2f}x torch-cpu)")
+    return {"metric": f"gen_images_per_sec_{image_size}x{image_size}",
+            "value": round(best, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(best / torch_ips, 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--image-size", type=int, default=0,
+                    help="bench one axis only (default: 64 AND 128, the "
+                         "full BASELINE metric surface)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--torch-batch", type=int, default=64)
     ap.add_argument("--torch-steps", type=int, default=5)
@@ -179,39 +221,26 @@ def main():
 
     log(f"device: {jax.devices()}")
 
-    torch_ips = bench_torch_cpu(args.image_size, args.torch_batch,
-                                args.torch_steps)
-    log(f"torch-cpu reference @{args.image_size}: {torch_ips:.1f} images/s")
+    sizes = [args.image_size] if args.image_size else [64, 128]
+    records = []
+    for s in sizes:
+        try:
+            records.append(bench_one_size(s, args))
+        except Exception as e:
+            # never lose the axes already measured to a late failure
+            log(f"axis {s}x{s} failed ({type(e).__name__}: {e})")
+    if not records:
+        raise SystemExit("no axis produced a measurement")
 
-    best, best_batch, best_impl = 0.0, 0, ""
-    # 2048 measured slower than 1024 (604k vs 654k); keep the winning sweep.
-    batches = (512, 1024) if args.image_size == 64 else (128, 256)
-    # The Pallas megakernels are correctness-tested but measured slower than
-    # XLA and their compiles crash inside benchmark chains on this toolchain
-    # (DESIGN.md §4) — excluded from the headline sweep; measure them with
-    # benchmarks/ scripts instead.
-    for impl, bs in (("xla", batches),):
-        for batch in bs:
-            try:
-                ips = bench_tpugan(args.image_size, batch, args.steps,
-                                   impl=impl)
-            except Exception as e:  # OOM/unsupported: keep best so far
-                log(f"tpugan {impl} batch {batch}: failed "
-                    f"({type(e).__name__}: {e})")
-                continue
-            log(f"tpugan {impl} @{args.image_size} batch {batch}: "
-                f"{ips:.1f} images/s")
-            if ips > best:
-                best, best_batch, best_impl = ips, batch, impl
-
-    log(f"best: {best_impl} batch {best_batch}: {best:.1f} images/s "
-        f"({best / torch_ips:.2f}x torch-cpu)")
-    print(json.dumps({
-        "metric": f"gen_images_per_sec_{args.image_size}x{args.image_size}",
-        "value": round(best, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(best / torch_ips, 3),
-    }), flush=True)
+    # ONE JSON line (driver contract): headline = 64x64 axis, every other
+    # measured axis rides along under "extra" so the judged artifact
+    # carries the full BASELINE metric surface.
+    out = dict(records[0])
+    if len(records) > 1:
+        out["extra"] = {r["metric"]: {"value": r["value"],
+                                      "vs_baseline": r["vs_baseline"]}
+                        for r in records[1:]}
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
