@@ -337,3 +337,40 @@ def test_dp_x_spatial_checkpoint_resume(tmp_path):
         from tpugan.parallel.spatial import set_spatial_mesh
 
         set_spatial_mesh(None)
+
+
+def test_sampler_spatial_matches_dense(rng):
+    """VERDICT r2 #7: a ≥256px model samples through the spatial ctx — the
+    standalone Sampler (no Trainer, no ambient ctx) builds its own 'space'
+    mesh from cfg.train.spatial_shards and reproduces the dense pixels."""
+    from tpugan.sample import Sampler
+
+    cfg, g, _ = _models(256)
+    params, state = g.init(jax.random.PRNGKey(0))
+
+    dense = Sampler(cfg, g, params, state)
+    sharded = Sampler(cfg.override({"train.spatial_shards": 8}), g,
+                      params, state)
+    a = dense.sample(4, seed=3)
+    b = sharded.sample(4, seed=3)
+    assert a.shape == b.shape == (4, 256, 256, 3)
+    np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4)
+    # chunked generation stays deterministic through the sharded path
+    np.testing.assert_array_equal(sharded.sample(4, seed=3, batch_size=2), b)
+
+
+def test_evaluate_spatial_sharded(rng):
+    """evaluate() on a spatial config runs its generator sharded (the same
+    hardware that trains a too-big-for-one-chip model can score it)."""
+    import dataclasses
+
+    from tpugan.eval import evaluate
+
+    cfg, g, _ = _models(64)
+    cfg = cfg.override({"train.spatial_shards": 4})
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, fid_n=8, fid_batch=4))
+    params, state = g.init(jax.random.PRNGKey(0))
+    real = rng.integers(0, 256, size=(8, 64, 64, 3)).astype(np.uint8)
+    scores = evaluate(cfg, g, params, state, seed=0, real_images=real)
+    assert np.isfinite(scores["fid"])

@@ -46,7 +46,7 @@ def seeded_labels(n_classes: int, n: int, seed: int,
 
 
 def build_sample_fn(cfg: Config, g: Module):
-    key = (cfg.train.kernels, cfg.model.arch)
+    key = (cfg.train.kernels, cfg.model.arch, cfg.train.spatial_shards)
     per_g = _SAMPLE_FN_CACHE.setdefault(g, {})
     if key not in per_g:
         per_g[key] = _build_sample_fn(cfg, g)
@@ -62,6 +62,34 @@ def _build_sample_fn(cfg: Config, g: Module):
     XLA path transparently.
     """
     conditional = cfg.model.arch == "cdcgan"
+
+    if cfg.train.spatial_shards > 0:
+        # Spatially-sharded sampling/eval (SURVEY §2b SP analog, scaling
+        # completeness): a ≥256px model that NEEDS sharding to fit must be
+        # able to produce its own grids/FID on the same hardware it trains
+        # on.  The spatial ctx is consulted at TRACE time, so entering it
+        # inside the jitted body routes the eval-mode convs through the
+        # halo primitives; the H-sharded output gathers on device_get.
+        import numpy as _np
+
+        from jax.sharding import Mesh as _Mesh
+        from tpugan.parallel import spatial as _sp
+
+        if _sp._CTX.mesh is not None:  # reuse the Trainer's mesh/axis
+            _mesh, _axis, _dim = _sp._CTX.mesh, _sp._CTX.axis, _sp._CTX.dim
+        else:  # standalone (CLI sample/eval): own 1-D space mesh
+            devs = jax.devices()[:cfg.train.spatial_shards]
+            _mesh, _axis, _dim = _Mesh(_np.array(devs), ("space",)), \
+                "space", 1
+
+        @jax.jit
+        def sample_spatial(params_g, state_g, z, y=None):
+            zin = (z, y) if conditional else z
+            with _sp.spatial_ctx(_mesh, axis=_axis, dim=_dim):
+                img, _ = g.apply(params_g, state_g, zin, train=False)
+            return img.astype(jnp.float32)
+
+        return sample_spatial
 
     if cfg.train.kernels == "pallas" and jax.default_backend() == "tpu":
         from tpugan.ops import pallas_gen, pallas_gen2
