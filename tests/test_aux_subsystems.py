@@ -228,3 +228,47 @@ def test_keep_best_checkpoint(tmp_path):
     # eval log recorded the best_fid marker
     with open(os.path.join(cfg.train.out_dir, "metrics.jsonl")) as f:
         assert any('"eval/best_fid"' in ln or "best_fid" in ln for ln in f)
+
+
+def test_keep_best_watermark_survives_resume(tmp_path, monkeypatch):
+    """The best-FID watermark persists across Trainer instances (i.e. across
+    preemption+resume): a resumed run whose first eval is WORSE than the
+    pre-preemption best must not overwrite ckpt_dir/best."""
+    import json
+
+    import tpugan.eval as tpe
+
+    tmp = str(tmp_path)
+
+    def run(fid_value, steps):
+        calls = []
+
+        def fake_eval(cfg, g, params_g, state_g, *, seed=0, real_images=None):
+            calls.append(fid_value)
+            return {"fid": fid_value, "kid": 0.0, "kid_std": 0.0,
+                    "is_mean": 1.0, "is_std": 0.0, "n": 8, "backend": "proxy"}
+
+        monkeypatch.setattr(tpe, "evaluate", fake_eval)
+        cfg = _tiny_cfg(tmp, steps)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, eval_every=2, keep_best=True, ckpt_every=2,
+            resume=cfg.train.ckpt_dir if steps > 2 else ""))
+        t = Trainer(cfg)
+        t.train()
+        assert calls, "eval never ran"
+        return cfg
+
+    cfg = run(1.0, steps=2)            # establishes best_fid = 1.0
+    meta = os.path.join(cfg.train.ckpt_dir, "best", "best_fid.json")
+    with open(meta) as f:
+        assert json.load(f)["fid"] == 1.0
+
+    run(5.0, steps=4)                  # resumed run, worse FID: no overwrite
+    with open(meta) as f:
+        rec = json.load(f)
+    assert rec["fid"] == 1.0, "worse resumed eval overwrote the best slot"
+    assert rec["step"] == 2
+
+    run(0.25, steps=6)                 # better FID: watermark advances
+    with open(meta) as f:
+        assert json.load(f)["fid"] == 0.25

@@ -131,3 +131,74 @@ def test_spatial_sharding_halo_conv_matches_dense():
     # output is actually sharded over the mesh
     shard_h = {s.data.shape[1] for s in got.addressable_shards}
     assert shard_h == {h // 2 // 4}
+
+
+def _fast_tiny(tmp, mesh_shape=0):
+    """The flagship throughput preset (device-resident + FusedProp +
+    scan-fused dispatch) shrunk for the virtual mesh."""
+    import dataclasses
+
+    cfg = get_preset("dcgan_celeba64_fast").override({
+        "data.dataset": "synthetic", "data.batch_size": 16,
+        "data.synthetic_size": 64, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "train.precision": "fp32",
+        "train.total_steps": 4, "train.steps_per_call": 2,
+        "train.log_every": 100, "train.sample_every": 0,
+        "train.ckpt_every": 0})
+    return dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=tmp + "/ckpt", out_dir=tmp + "/out"))
+
+
+def test_device_resident_dp_matches_single_device(tmp_path):
+    """VERDICT r2 #4: the device-resident fast path composes with a DP mesh —
+    the HBM dataset is replicated onto the mesh, each gathered batch is
+    sharded over 'data', and the trained params match the single-device
+    fast path."""
+    from tpugan.train import Trainer
+
+    data = {"images": np.random.default_rng(0).integers(
+        0, 256, size=(64, 64, 64, 3)).astype(np.uint8)}
+
+    t1 = Trainer(_fast_tiny(str(tmp_path / "a")), data=dict(data))
+    t1.train()
+
+    t8 = Trainer(_fast_tiny(str(tmp_path / "b")), data=dict(data),
+                 mesh=make_mesh(8))
+    t8.train()
+
+    assert int(t1.state.step) == int(t8.state.step) == 4
+    # sharded BN/grad reductions reorder float sums: same tolerance band as
+    # the other mesh-equivalence tests (2e-3), not bit-exactness
+    for a, c in zip(jax.tree.leaves(jax.device_get(t1.state.params_g)),
+                    jax.tree.leaves(jax.device_get(t8.state.params_g))):
+        np.testing.assert_allclose(a, c, rtol=2e-3, atol=5e-5)
+    for a, c in zip(jax.tree.leaves(jax.device_get(t1.state.params_d)),
+                    jax.tree.leaves(jax.device_get(t8.state.params_d))):
+        np.testing.assert_allclose(a, c, rtol=2e-3, atol=5e-5)
+
+
+def test_device_resident_dp_actually_partitions():
+    """The sharding constraint on the in-step gather makes XLA partition the
+    step (gradient/BN all-reduces appear); without it the whole step would
+    compile replicated (correct but 1x) — pin the partitioning, not just
+    the numbers."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpugan.parallel import shard_train_state
+    from tpugan.train import create_train_state
+
+    cfg = tiny().override({"data.device_resident": True})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    mesh = make_mesh(8)
+    step = build_train_step(cfg, g, d, mesh=mesh)
+    state = shard_train_state(create_train_state(cfg, g, d), mesh)
+    ds = jax.device_put(
+        jnp.zeros((64, cfg.model.image_size, cfg.model.image_size,
+                   cfg.model.channels), jnp.uint8),
+        NamedSharding(mesh, P()))
+    compiled = step.lower(state, {"dataset_images": ds}).compile()
+    txt = compiled.as_text()
+    assert "all-reduce" in txt, "step compiled without any collective"
+    # and it actually runs
+    s2, m = step(state, {"dataset_images": ds})
+    assert np.isfinite(float(m["loss_d"]))

@@ -35,13 +35,26 @@ class make_input_pipeline:
                  seed: int = 0, drop_remainder: bool = True,
                  with_labels: bool = True,
                  sharding: Optional[jax.sharding.Sharding] = None,
-                 prefetch: int = 2, stack: int = 1):
+                 prefetch: int = 2, stack: int = 1,
+                 multiprocess: bool = False):
         self.images = data["images"]
         self.labels = data.get("labels") if with_labels else None
         self.batch_size = batch_size
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch
+        # Multi-host mode: every process computes the SAME seeded global
+        # shuffle, gathers/decodes only its local_batch_slice rows, and the
+        # producer stitches them into global arrays over the mesh
+        # (parallel/multihost.py).  Requires a NamedSharding over the
+        # global mesh.
+        self.multiprocess = bool(multiprocess)
+        if self.multiprocess and sharding is None:
+            raise ValueError("multiprocess pipeline needs a mesh sharding")
+        if self.multiprocess and batch_size % jax.process_count():
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"{jax.process_count()} processes")
         # stack > 1: yield K minibatches stacked on a leading axis, for the
         # scan-fused multi-step dispatch (one big transfer per K steps)
         self.stack = max(stack, 1)
@@ -58,6 +71,13 @@ class make_input_pipeline:
                 np.random.SeedSequence([self.seed, epoch])).permutation(n)
             for s in range(self.steps_per_epoch):
                 idx = order[s * self.batch_size:(s + 1) * self.batch_size]
+                if self.multiprocess:
+                    # identical global order everywhere; each host touches
+                    # only its own rows (bandwidth + decode split across
+                    # hosts)
+                    from tpugan.parallel.multihost import local_batch_slice
+
+                    idx = idx[local_batch_slice(self.batch_size)]
                 if hasattr(self.images, "gather"):
                     # streaming dataset (larger-than-RAM folder): decode
                     # this batch's files now, in its thread pool
@@ -90,8 +110,14 @@ class make_input_pipeline:
                 for batch in self._stacked_batches():
                     if stop.is_set():
                         return
-                    dev = {k: jax.device_put(v, self.sharding)
-                           for k, v in batch.items()}
+                    if self.multiprocess:
+                        from tpugan.parallel.multihost import \
+                            make_global_batch
+
+                        dev = make_global_batch(batch, self.sharding)
+                    else:
+                        dev = {k: jax.device_put(v, self.sharding)
+                               for k, v in batch.items()}
                     while not stop.is_set():
                         try:
                             q.put(dev, timeout=0.5)

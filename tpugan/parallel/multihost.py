@@ -46,3 +46,21 @@ def local_batch_slice(global_batch: int) -> slice:
     i = jax.process_index()
     per = global_batch // n
     return slice(i * per, (i + 1) * per)
+
+
+def is_main_process() -> bool:
+    """True on the process that owns side effects (PNG grids, metric files);
+    compute still runs everywhere — only host writes are deduplicated."""
+    return jax.process_index() == 0
+
+
+def make_global_batch(local_batch, sharding):
+    """Assemble global device arrays from this process's LOCAL slice.
+
+    Each process gathers/decodes only its ``local_batch_slice`` rows; this
+    stitches those host shards into one global jax.Array laid out by
+    ``sharding`` (a NamedSharding over the global mesh) — the multi-host
+    form of the pipeline's ``jax.device_put(batch, sharding)``.
+    """
+    return {k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in local_batch.items()}

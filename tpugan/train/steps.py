@@ -64,10 +64,17 @@ def epoch_indices(data_root: jax.Array, step: jax.Array, bsz: int,
                      jnp.take(perm_a, r), jnp.take(perm_b, r))
 
 
-def build_train_step(cfg: Config, g: Module, d: Module
+def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
                      ) -> Callable[[TrainState, Dict[str, jax.Array]],
                                    Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Return the compiled train step for (cfg, g, d)."""
+    """Return the compiled train step for (cfg, g, d).
+
+    ``mesh``: the DP mesh, needed only for device-resident data — the
+    on-device gather pulls the batch out of a mesh-replicated dataset, and
+    without an explicit constraint XLA keeps the whole step replicated
+    (correct numbers, zero DP speedup).  Host-pipeline batches arrive
+    already sharded, so they need nothing here.
+    """
     kind = cfg.loss.kind
     nz = cfg.model.nz
     n_critic = cfg.loss.n_critic
@@ -220,6 +227,21 @@ def build_train_step(cfg: Config, g: Module, d: Module
             x_real = jnp.take(batch["dataset_images"], idx, axis=0)
             y_real = (jnp.take(batch["dataset_labels"], idx, axis=0)
                       if "dataset_labels" in batch else None)
+            if (mesh is not None and tuple(mesh.axis_names) == ("data",)
+                    and mesh.devices.size > 1):
+                # Shard the gathered batch over 'data' (the dataset itself is
+                # replicated): from here the step partitions exactly like the
+                # host-pipeline DP path, grad psums inserted by XLA.  The
+                # ('data','space') 2-D mesh path keeps its own placement
+                # (dataset H-sharded by the trainer).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                bsh = NamedSharding(
+                    mesh, P("data", *([None] * (x_real.ndim - 1))))
+                x_real = lax.with_sharding_constraint(x_real, bsh)
+                if y_real is not None:
+                    y_real = lax.with_sharding_constraint(
+                        y_real, NamedSharding(mesh, P("data")))
         else:
             x_real = batch["image"]
             y_real = batch.get("label")

@@ -49,6 +49,20 @@ class NonFiniteLossError(RuntimeError):
     is set and a logged metric goes NaN/inf — the GAN diverged."""
 
 
+class _NullLogger:
+    """Metrics sink for non-main processes in a multi-host run: the numbers
+    are identical on every process (replicated), so only process 0 writes."""
+
+    def log(self, *a, **k):
+        pass
+
+    def log_image(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def _on_preempt(signum, frame):
     if _PREEMPTED.is_set():  # second signal: give up gracefulness
         signal.signal(signum, signal.SIG_DFL)
@@ -90,7 +104,6 @@ class Trainer:
                            else cfg.train.fuse_stats)
         self.g, self.d = build_models(cfg.model, cfg.train.precision)
         self.state: TrainState = create_train_state(cfg, self.g, self.d)
-        self.step_fn = build_train_step(cfg, self.g, self.d)
         self.mesh = mesh
         self.batch_sharding = None
         if mesh is not None:
@@ -137,6 +150,9 @@ class Trainer:
         if ((self.mesh is not None and len(self.mesh.devices.flat) > 1)
                 or self.spatial_mesh is not None):
             ops.set_fuse_stats("off")
+        # Step built AFTER mesh resolution: device-resident gathers need the
+        # final mesh to shard their in-step batch (see build_train_step).
+        self.step_fn = build_train_step(cfg, self.g, self.d, mesh=self.mesh)
         self._data = data  # injected dataset (tests); else loaded lazily
         self.logger: Optional[MetricsLogger] = None
 
@@ -171,13 +187,43 @@ class Trainer:
             self.state = shard_train_state(self.state, self.mesh)
         return int(self.state.step)
 
+    # -- keep_best watermark -------------------------------------------------
+    def _best_meta_path(self) -> str:
+        return os.path.join(self.cfg.train.ckpt_dir, "best", "best_fid.json")
+
+    def _load_best_watermark(self):
+        import json
+
+        try:
+            with open(self._best_meta_path()) as f:
+                return float(json.load(f)["fid"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
+
+    def _save_best_watermark(self, step: int, fid: float) -> None:
+        import json
+
+        path = self._best_meta_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fid": float(fid), "step": int(step)}, f)
+        os.replace(tmp, path)
+
     # -- training -----------------------------------------------------------
     def train(self, total_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         total_steps = total_steps or cfg.train.total_steps
         out_dir = cfg.train.out_dir
+        # Multi-host: compute runs on every process (single-program SPMD
+        # over the global mesh); host side effects — metric files, PNG
+        # grids — are written once, by process 0.  Checkpoint saves run on
+        # ALL processes (orbax coordinates the distributed write itself).
+        multiproc = jax.process_count() > 1 and self.mesh is not None
+        is_main = jax.process_index() == 0
         os.makedirs(out_dir, exist_ok=True)
-        self.logger = logger = MetricsLogger(out_dir)
+        self.logger = logger = (MetricsLogger(out_dir) if is_main
+                                else _NullLogger())
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
 
         if cfg.train.resume:
@@ -202,10 +248,33 @@ class Trainer:
         if cfg.data.device_resident:
             import itertools
 
-            dev_batch = {"dataset_images": jax.device_put(
-                data["images"], spatial_sh)}
+            ds_sharding = spatial_sh  # H-sharded when spatially sharded
+            lbl_sharding = None
+            if ds_sharding is None and self.mesh is not None:
+                # Plain DP mesh: replicate the HBM dataset onto the mesh
+                # (committed placement — a bare device_put would pin it to
+                # one device and clash with the mesh-sharded state under
+                # jit); the step shards each gathered batch over 'data'.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ds_sharding = NamedSharding(self.mesh, P())
+            if self.mesh is not None or self.spatial_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                lbl_sharding = NamedSharding(
+                    self.mesh or self.spatial_mesh, P())
+            if multiproc:
+                # every process holds the full dataset; assemble the global
+                # (replicated) array — device_put cannot target another
+                # process's devices
+                put = lambda v, sh: jax.make_array_from_process_local_data(  # noqa: E731
+                    sh, np.asarray(v))
+            else:
+                put = jax.device_put
+            dev_batch = {"dataset_images": put(data["images"], ds_sharding)}
             if cfg.model.arch == "cdcgan":
-                dev_batch["dataset_labels"] = jax.device_put(data["labels"])
+                dev_batch["dataset_labels"] = put(data["labels"],
+                                                  lbl_sharding)
             pipeline = itertools.repeat(dev_batch)
         else:
             # the pipeline applies one sharding to every batch entry, so
@@ -219,10 +288,15 @@ class Trainer:
 
                 # stacked batches: (K, batch, ...) — shard the batch axis
                 sharding = NamedSharding(self.mesh, P(None, "data"))
+            if multiproc and sharding is None:
+                # multi-host needs a mesh placement for the global batch
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharding = NamedSharding(self.mesh, P("data"))
             pipeline = make_input_pipeline(
                 data, cfg.data.batch_size, seed=cfg.train.seed,
                 with_labels=cfg.model.arch == "cdcgan",
-                sharding=sharding, stack=k_steps)
+                sharding=sharding, stack=k_steps, multiprocess=multiproc)
 
         sampler = Sampler(cfg, self.g, self.state.params_g,
                           self.state.state_g)
@@ -243,6 +317,14 @@ class Trainer:
         best_ckpt = None
         if not hasattr(self, "_best_fid"):
             self._best_fid = float("inf")
+        if cfg.train.keep_best:
+            # The watermark must survive preemption: a resumed run that
+            # reset it to inf would overwrite ckpt_dir/best with a worse
+            # model on its first eval — exactly the preemptible runs
+            # keep_best targets.  Persisted beside the best checkpoint.
+            prev_best = self._load_best_watermark()
+            if prev_best is not None:
+                self._best_fid = min(self._best_fid, prev_best)
         if self.spatial_mesh is not None:
             # (re-)install the spatial dispatch context for this run — it
             # is cleared in the finally below so it cannot leak into other
@@ -295,19 +377,26 @@ class Trainer:
                 if cfg.train.sample_every and (
                         step_no % cfg.train.sample_every < k
                         or step_no >= total_steps):
+                    # computed on every process (collective-free eval-mode
+                    # forward on replicated weights); written once
                     sampler.update(self._gen_params(), self.state.state_g)
                     imgs = sampler.sample_fixed(fixed_z, fixed_y)
-                    grid = make_grid(to_uint8(imgs), nrow=8)
-                    save_png(os.path.join(out_dir, f"samples_{step_no:07d}.png"),
-                             grid)
-                    logger.log_image(step_no, "samples", grid)
+                    if is_main:
+                        grid = make_grid(to_uint8(imgs), nrow=8)
+                        save_png(os.path.join(
+                            out_dir, f"samples_{step_no:07d}.png"), grid)
+                        logger.log_image(step_no, "samples", grid)
 
                 if cfg.train.eval_every and step_no % cfg.train.eval_every < k:
                     from tpugan.eval import evaluate
 
+                    # pass the dataset unsliced: evaluate() slices to
+                    # eval.fid_n itself and, for a streaming dataset, keys
+                    # its real-feature cache on dataset identity BEFORE
+                    # decoding — repeated eval ticks cost zero decodes
                     scores = evaluate(cfg, self.g, self._gen_params(),
                                       self.state.state_g, seed=cfg.train.seed,
-                                      real_images=data["images"][:cfg.eval.fid_n])
+                                      real_images=data["images"])
                     logger.log(step_no,
                                {k: v for k, v in scores.items()
                                 if isinstance(v, (int, float))}, prefix="eval")
@@ -322,6 +411,7 @@ class Trainer:
                                 os.path.join(cfg.train.ckpt_dir, "best"),
                                 max_to_keep=1)
                         self.save_checkpoint(best_ckpt)
+                        self._save_best_watermark(step_no, scores["fid"])
                         logger.log(step_no, {"best_fid": scores["fid"]},
                                    prefix="eval")
                     t0 = time.perf_counter()  # don't count eval in images/sec
@@ -361,11 +451,11 @@ class Trainer:
         from tpugan.eval import evaluate as _evaluate
 
         data = self._dataset()
-        real = data["images"]
-        if hasattr(real, "__getitem__"):
-            real = real[:self.cfg.eval.fid_n]
+        # unsliced: evaluate() slices to eval.fid_n and handles streaming
+        # datasets without decoding on a cache hit
         return _evaluate(self.cfg, self.g, self._gen_params(),
-                         self.state.state_g, seed=seed, real_images=real)
+                         self.state.state_g, seed=seed,
+                         real_images=data["images"])
 
     # -- public sampler handle ---------------------------------------------
     def sampler(self) -> Sampler:
