@@ -44,12 +44,50 @@ def main():
                     help="measure the torch twin's own seed-to-seed FID "
                          "variability instead of cross-framework parity")
     ap.add_argument("--n-seeds", type=int, default=4)
+    ap.add_argument("--verdict", action="store_true",
+                    help="cross-framework run + seed floors + the "
+                         "parity_acceptance criterion, one JSON per preset")
+    ap.add_argument("--stream-seeds", type=int, default=1,
+                    help="independent cross-framework stream seeds for the "
+                         "verdict (medians judged against the floors)")
     args = ap.parse_args()
 
     from tpugan.parity.runners import (
+        parity_acceptance,
         run_convergence_parity,
         run_seed_noise_floor,
     )
+
+    if args.verdict:
+        # Full quantitative criterion per preset: cross-framework runs over
+        # --stream-seeds independent streams + seed floors (FID spread,
+        # seed-to-seed cross-FID, weight distance) + the parity_acceptance
+        # rule.  This is the BASELINE.md table row.
+        for preset in args.presets:
+            finals = []
+            for ss in range(args.stream_seeds):
+                r = run_convergence_parity(preset, args.steps,
+                                           batch_size=args.batch,
+                                           width=args.width, nz=32,
+                                           fid_n=args.fid_n,
+                                           stream_seed=ss)
+                finals.append(r["final"])
+                print(json.dumps({"preset": preset, "stream_seed": ss,
+                                  **r["final"]}), flush=True)
+            floor = run_seed_noise_floor(preset, args.steps,
+                                         batch_size=args.batch,
+                                         width=args.width, nz=32,
+                                         fid_n=args.fid_n,
+                                         n_seeds=args.n_seeds)
+            verdict = parity_acceptance(finals, floor)
+            print(json.dumps({"preset": preset, "steps": args.steps,
+                              **{k: floor[k] for k in
+                                 ("noise_floor_rel", "cross_fid_floor",
+                                  "cross_fid_floor_median",
+                                  "weight_dist_floor",
+                                  "weight_dist_floor_median")},
+                              **verdict}), flush=True)
+        return
 
     if args.noise_floor:
         for preset in args.presets:

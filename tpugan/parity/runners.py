@@ -291,7 +291,33 @@ def compare_final_generators(cfg: Config, g, state, tg, real_images,
         "fid_cross": float(fid_cross),
         "rel_delta": float(abs(fid_j - fid_t) / max(abs(fid_t), 1e-9)),
         "pixel_mae": float(np.mean(np.abs(fake_j - fake_t))),
+        "weight_dist": generator_weight_distance(cfg, state, tg),
     }
+
+
+def torch_weight_distance(tg_a, tg_b) -> float:
+    """Relative L2 distance between two torch generators' full states
+    (parameters + BN buffers): ||a - b|| / ||b||."""
+    import torch
+
+    num = 0.0
+    den = 0.0
+    sa, sb = tg_a.state_dict(), tg_b.state_dict()
+    for k, b in sb.items():
+        if not torch.is_floating_point(b):
+            continue
+        a = sa[k]
+        num += float(((a - b) ** 2).sum())
+        den += float((b ** 2).sum())
+    return float(np.sqrt(num) / max(np.sqrt(den), 1e-12))
+
+
+def generator_weight_distance(cfg: Config, state, tg) -> float:
+    """Weight-space distance between the final tpugan generator and the
+    final torch generator, measured in torch layout: the JAX state is
+    transplanted into a fresh twin, then compared parameter-by-parameter."""
+    twin, _ = build_torch_twins(cfg, state)
+    return torch_weight_distance(twin, tg)
 
 
 def run_seed_noise_floor(preset: str, steps: int, *, batch_size: int = 32,
@@ -299,10 +325,16 @@ def run_seed_noise_floor(preset: str, steps: int, *, batch_size: int = 32,
                          n_seeds: int = 2) -> Dict[str, object]:
     """The reference's OWN seed-to-seed variability: train the torch twin
     ``n_seeds`` times from one init on different data/noise streams, and
-    report the spread of the final proxy-FIDs (all pairwise relative
-    deltas).  The cross-framework delta from run_convergence_parity is
-    judged against this floor — a framework difference within the
-    reference's own seed noise is parity."""
+    report
+
+    - the spread of the final proxy-FIDs (all pairwise relative deltas),
+    - the pairwise CROSS-FIDs between the seed generators (how far the
+      reference's own generators are from each other, distributionally),
+    - the pairwise weight-space distances.
+
+    The cross-framework numbers from run_convergence_parity are judged
+    against these floors (see parity_acceptance): a framework difference
+    within the reference's own seed noise is parity."""
     import torch
 
     from tpugan.configs import get_preset
@@ -332,13 +364,55 @@ def run_seed_noise_floor(preset: str, steps: int, *, batch_size: int = 32,
         fakes = [t(z).numpy().transpose(0, 2, 3, 1) for t in finals]
     ex = make_extractor(cfg.model.channels, "proxy")
     feat_real, _ = ex(real[:max(fid_n, 256)])
-    fids = [float(fid_from_features(feat_real, ex(f)[0])) for f in fakes]
+    feats = [ex(f)[0] for f in fakes]
+    fids = [float(fid_from_features(feat_real, ft)) for ft in feats]
+    pairs = [(i, j) for i in range(len(fids)) for j in range(len(fids))
+             if i < j]
     pair_rel = [abs(fids[i] - fids[j]) / max(abs(fids[j]), 1e-9)
-                for i in range(len(fids)) for j in range(len(fids)) if i < j]
+                for i, j in pairs]
+    cross = [float(fid_from_features(feats[i], feats[j])) for i, j in pairs]
+    wdist = [torch_weight_distance(finals[i], finals[j]) for i, j in pairs]
     return {
         "preset": preset, "steps": steps, "fids": fids,
         "noise_floor_rel": max(pair_rel),
         "noise_floor_rel_median": float(np.median(pair_rel)),
+        "cross_fid_floor": max(cross),
+        "cross_fid_floor_median": float(np.median(cross)),
+        "weight_dist_floor": max(wdist),
+        "weight_dist_floor_median": float(np.median(wdist)),
+    }
+
+
+def parity_acceptance(finals, floor: Dict[str, object]) -> Dict[str, object]:
+    """The quantitative parity criterion (BASELINE.md parity table).
+
+    ``finals``: one ``compare_final_generators`` dict, or a list of them
+    from INDEPENDENT stream seeds.  With several stream seeds the medians
+    are judged — a single 400-step GAN run is one draw from a chaotic
+    process, and any max-floor comparison against a single draw is
+    noise-dominated in both directions.
+
+    A variant is at parity if EITHER
+      (a) median cross-framework proxy-FID relative delta is within the
+          reference's own max pairwise seed spread, OR
+      (b) the cross-framework generators are distributionally no farther
+          apart than the reference's own seed-run generators:
+          median cross-FID(tpugan, torch) <= max pairwise seed cross-FID.
+    (a) judges the scalar headline; (b) judges the generators directly and
+    is robust to FID-estimator noise amplifying a scalar delta."""
+    if isinstance(finals, dict):
+        finals = [finals]
+    med = lambda k: float(np.median([f[k] for f in finals]))  # noqa: E731
+    fid_ok = med("rel_delta") <= floor["noise_floor_rel"]
+    cross_ok = med("fid_cross") <= floor["cross_fid_floor"]
+    return {
+        "median_rel_delta": med("rel_delta"),
+        "median_fid_cross": med("fid_cross"),
+        "median_weight_dist": med("weight_dist"),
+        "n_stream_seeds": len(finals),
+        "fid_delta_within_floor": bool(fid_ok),
+        "cross_fid_within_floor": bool(cross_ok),
+        "parity": bool(fid_ok or cross_ok),
     }
 
 
