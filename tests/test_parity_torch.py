@@ -311,11 +311,10 @@ def test_wgan_clip_trajectory_matches_torch(rng):
                  jax.device_get(state.state_g), tg)
     transplant_d(jax.device_get(state.params_d),
                  jax.device_get(state.state_d), td)
-    # torch RMSprop(eps=1e-8 default... optax rmsprop eps=1e-8, alpha 0.9?
-    # optax.rmsprop(decay=0.9, eps=1e-8); torch RMSprop(alpha=0.99) differs —
-    # align torch to optax's decay for the comparison.
-    opt_g = torch.optim.RMSprop(tg.parameters(), lr=5e-5, alpha=0.9)
-    opt_d = torch.optim.RMSprop(td.parameters(), lr=5e-5, alpha=0.9)
+    # tpugan's rmsprop mirrors torch semantics exactly (alpha=0.99 default,
+    # eps outside the sqrt) — torch here runs its own defaults.
+    opt_g = torch.optim.RMSprop(tg.parameters(), lr=5e-5)
+    opt_d = torch.optim.RMSprop(td.parameters(), lr=5e-5)
 
     ours, ref = [], []
     for i in range(4):
@@ -342,3 +341,43 @@ def test_wgan_clip_trajectory_matches_torch(rng):
 
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=5e-2, atol=5e-3)
+
+
+def test_rmsprop_matches_torch_exactly():
+    """The WGAN presets optimize with RMSprop; optax's default puts eps
+    inside the sqrt where torch (the reference) adds it outside — a
+    per-step systematic difference that compounds over hundreds of steps.
+    Pin the fixed optimizer to torch semantics on a bare quadratic."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((16,)).astype(np.float32)
+    target = rng.standard_normal((16,)).astype(np.float32)
+
+    # torch
+    wt = torch.tensor(w0.copy(), requires_grad=True)
+    opt_t = torch.optim.RMSprop([wt], lr=5e-3)  # torch defaults
+    for _ in range(50):
+        opt_t.zero_grad()
+        ((wt - torch.from_numpy(target)) ** 2).sum().backward()
+        opt_t.step()
+
+    # tpugan's construction (through make_optimizers so the test covers the
+    # production path, not a hand-built transform)
+    from tpugan.configs import get_preset
+    from tpugan.train.state import make_optimizers
+
+    cfg = get_preset("wgan_cifar10").override({"optim.lr_g": 5e-3})
+    tx, _ = make_optimizers(cfg)
+    wj = jnp.asarray(w0)
+    st = tx.init(wj)
+    grad_fn = jax.grad(lambda w: jnp.sum((w - jnp.asarray(target)) ** 2))
+    for _ in range(50):
+        up, st = tx.update(grad_fn(wj), st, wj)
+        wj = optax.apply_updates(wj, up)
+
+    np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)

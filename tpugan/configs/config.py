@@ -67,6 +67,10 @@ class OptimConfig:
     beta1: float = 0.5
     beta2: float = 0.999
     eps: float = 1e-8
+    # RMSprop squared-grad smoothing constant.  Default mirrors
+    # torch.optim.RMSprop's alpha=0.99 (the reference runs torch defaults);
+    # note optax.rmsprop's own default is 0.9, so this must stay explicit.
+    rmsprop_decay: float = 0.99
     # LR schedule: "constant" (the reference) or "linear" (decay to zero
     # from decay_start_frac of total_steps — the pix2pix/CycleGAN recipe).
     schedule: str = "constant"

@@ -194,9 +194,10 @@ def run_torch(cfg: Config, tg, td, streams) -> np.ndarray:
     if o.optimizer == "adam":
         mk = lambda ps, lr: torch.optim.Adam(
             ps, lr=lr, betas=(o.beta1, o.beta2), eps=o.eps)
-    else:  # rmsprop — optax.rmsprop defaults decay=0.9, eps=1e-8
-        mk = lambda ps, lr: torch.optim.RMSprop(ps, lr=lr, alpha=0.9,
-                                                eps=1e-8)
+    else:  # rmsprop — twin mirrors cfg (tpugan mirrors torch semantics)
+        mk = lambda ps, lr: torch.optim.RMSprop(ps, lr=lr,
+                                                alpha=o.rmsprop_decay,
+                                                eps=o.eps)
     opt_g = mk(tg.parameters(), o.lr_g)
     opt_d = mk(td.parameters(), o.lr_d)
 
@@ -380,6 +381,63 @@ def run_seed_noise_floor(preset: str, steps: int, *, batch_size: int = 32,
         "cross_fid_floor_median": float(np.median(cross)),
         "weight_dist_floor": max(wdist),
         "weight_dist_floor_median": float(np.median(wdist)),
+    }
+
+
+def run_fp_noise_floor(preset: str, steps: int, *, batch_size: int = 32,
+                       width: int = 32, nz: int = 32, fid_n: int = 512,
+                       eps: float = 1e-6, stream_seed: int = 0
+                       ) -> Dict[str, float]:
+    """The SAME-framework float-noise floor: train the torch twin twice on
+    the SAME stream, once from the exact init and once from init*(1+eps
+    -scale noise), and measure how far the two final generators drift.
+
+    This isolates chaos amplification of last-bit differences from any
+    framework-semantics difference: a cross-framework generator distance at
+    or below this floor is indistinguishable from a one-ulp perturbation
+    inside the reference itself.  (wgan-clip is the variant this matters
+    for: weight clipping pins params to the +/-c cliff, where torch and XLA
+    rounding differ on EVERY step, not just at init.)"""
+    import torch
+
+    from tpugan.configs import get_preset
+    from tpugan.eval.features import make_extractor
+    from tpugan.eval.fid import fid_from_features
+    from tpugan.models import build_models
+    from tpugan.train import create_train_state
+
+    cfg = parity_cfg(get_preset(preset), batch_size=batch_size, width=width,
+                     nz=nz)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state0 = create_train_state(cfg, g, d)
+    streams, real = make_streams(cfg, steps, seed=stream_seed)
+
+    finals = []
+    for perturb in (False, True):
+        tg, td = build_torch_twins(cfg, state0)
+        if perturb:
+            gen = torch.Generator().manual_seed(7)
+            with torch.no_grad():
+                for p in list(tg.parameters()) + list(td.parameters()):
+                    noise = torch.randn(p.shape, generator=gen)
+                    p.add_(noise * (p.abs() * eps + 1e-12))
+        run_torch(cfg, tg, td, streams)
+        finals.append(tg.eval())
+
+    rng = np.random.default_rng(1234)
+    z = torch.from_numpy(
+        rng.standard_normal((fid_n, cfg.model.nz)).astype(np.float32))
+    with torch.no_grad():
+        fakes = [t(z).numpy().transpose(0, 2, 3, 1) for t in finals]
+    ex = make_extractor(cfg.model.channels, "proxy")
+    feat_real, _ = ex(real[:max(fid_n, 256)])
+    feats = [ex(f)[0] for f in fakes]
+    fids = [float(fid_from_features(feat_real, ft)) for ft in feats]
+    return {
+        "preset": preset, "steps": steps, "eps": eps,
+        "fp_cross_fid": float(fid_from_features(feats[0], feats[1])),
+        "fp_weight_dist": torch_weight_distance(finals[0], finals[1]),
+        "fp_rel_delta": abs(fids[0] - fids[1]) / max(abs(fids[1]), 1e-9),
     }
 
 

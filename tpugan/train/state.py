@@ -69,7 +69,16 @@ def make_optimizers(cfg: Config):
         mk = lambda lr, every=1: optax.adam(
             sched(lr, every), b1=o.beta1, b2=o.beta2, eps=o.eps)
     elif o.optimizer == "rmsprop":
-        mk = lambda lr, every=1: optax.rmsprop(sched(lr, every))
+        # eps_in_sqrt=False matches the reference semantics
+        # (torch.optim.RMSprop: update = g / (sqrt(v) + eps)); optax's
+        # default puts eps INSIDE the sqrt, a systematic per-step numerical
+        # difference that round-3 parity work isolated as the cause of the
+        # wgan-clip row's above-floor generator drift (BASELINE.md).
+        # decay likewise follows torch's alpha default via cfg.
+        mk = lambda lr, every=1: optax.rmsprop(sched(lr, every),
+                                               decay=o.rmsprop_decay,
+                                               eps=o.eps,
+                                               eps_in_sqrt=False)
     else:
         raise ValueError(f"unknown optimizer {o.optimizer!r}")
     return mk(o.lr_g, every=max(cfg.loss.n_critic, 1)), mk(o.lr_d)
