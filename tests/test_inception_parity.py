@@ -191,3 +191,26 @@ def test_full_net_transplant_resized(size):
         params, inception.resize_to_299(jnp.asarray(x)))
     np.testing.assert_allclose(np.asarray(feat_j), feat_t.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cli_convert_inception_roundtrip(tmp_path):
+    """tpugan convert-inception: torch .pth -> pickle -> extractor scores
+    match the torch twin (the full offline exact-FID workflow)."""
+    from tpugan.cli import main
+    from tpugan.eval.features import make_extractor
+
+    net = twin.make_random_twin(seed=3)
+    src = str(tmp_path / "fid_inception.pth")
+    torch.save(net.state_dict(), src)
+    out = str(tmp_path / "inception_fid.pkl")
+    main(["convert-inception", "--src", src, "--out", out])
+
+    run = make_extractor(3, "inception", out)
+    rng = np.random.default_rng(9)
+    imgs = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    feat, probs = run(imgs, batch=2)
+    with torch.no_grad():
+        feat_t, _ = net(twin.resize_to_299_torch(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))))
+    np.testing.assert_allclose(feat, feat_t.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)

@@ -171,6 +171,35 @@ def cmd_serve(args):
     serve_forever(engine, host=args.host, port=args.port)
 
 
+def cmd_convert_inception(args):
+    """Torch FID-InceptionV3 state_dict -> our weight pickle.
+
+    Run wherever the pytorch-fid checkpoint exists (this container has no
+    network); ship the pickle here and set eval.inception_weights to it —
+    the JAX network is numerically cross-validated against a torch twin
+    (tests/test_inception_parity.py), so converted weights reproduce
+    pytorch-fid's pool3 features to float precision.
+    """
+    import pickle
+
+    import numpy as np
+    import torch
+
+    from tpugan.eval.inception import convert_torch_state_dict
+
+    sd = torch.load(args.src, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+    out = convert_torch_state_dict(sd)
+    with open(args.out, "wb") as f:
+        pickle.dump(out, f)
+    n_arrays = sum(len(v) for v in out.values())
+    print(f"converted {n_arrays} arrays -> {args.out}; set "
+          f"eval.inception_weights={args.out!r} for exact FID")
+
+
 def cmd_bench(args):
     # Delegate to the repo-root benchmark (kept as its own script so the
     # driver can run it headless); this subcommand is the discoverable path.
@@ -237,6 +266,14 @@ def main(argv=None):
     sub.add_parser("bench", help="north-star throughput benchmark "
                    "(flags pass through to bench.py, e.g. --quick)")
 
+    p = sub.add_parser(
+        "convert-inception",
+        help="convert a pytorch-fid InceptionV3 state_dict (.pth) to the "
+             "weight file eval.inception_weights expects (exact-FID path)")
+    p.add_argument("--src", required=True,
+                   help="torch state_dict file (torch.save'd)")
+    p.add_argument("--out", default="inception_fid.pkl")
+
     # bench forwards unknown flags to bench.py; other commands reject them
     args, extra = ap.parse_known_args(argv)
     if args.cmd != "bench" and extra:
@@ -244,7 +281,8 @@ def main(argv=None):
     args.rest = extra
     {"presets": cmd_presets, "train": cmd_train, "sample": cmd_sample,
      "eval": cmd_eval, "export": cmd_export, "serve": cmd_serve,
-     "bench": cmd_bench}[args.cmd](args)
+     "bench": cmd_bench,
+     "convert-inception": cmd_convert_inception}[args.cmd](args)
 
 
 if __name__ == "__main__":
