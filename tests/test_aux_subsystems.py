@@ -272,3 +272,34 @@ def test_keep_best_watermark_survives_resume(tmp_path, monkeypatch):
     run(0.25, steps=6)                 # better FID: watermark advances
     with open(meta) as f:
         assert json.load(f)["fid"] == 0.25
+
+
+def test_keep_best_fresh_run_resets_watermark(tmp_path, monkeypatch):
+    """A FRESH run (no train.resume) in a reused ckpt_dir must NOT inherit
+    the previous run's watermark — its own first eval defines the new best
+    (otherwise ckpt_dir/best silently keeps the old config's weights)."""
+    import json
+
+    import tpugan.eval as tpe
+
+    tmp = str(tmp_path)
+
+    def run(fid_value, steps, resume=""):
+        def fake_eval(cfg, g, params_g, state_g, *, seed=0, real_images=None):
+            return {"fid": fid_value, "kid": 0.0, "kid_std": 0.0,
+                    "is_mean": 1.0, "is_std": 0.0, "n": 8, "backend": "proxy"}
+
+        monkeypatch.setattr(tpe, "evaluate", fake_eval)
+        cfg = _tiny_cfg(tmp, steps)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, eval_every=2, keep_best=True, ckpt_every=2,
+            resume=resume))
+        Trainer(cfg).train()
+
+    meta = os.path.join(tmp, "ckpt", "best", "best_fid.json")
+    run(1.0, steps=2)                  # first run: best = 1.0
+    with open(meta) as f:
+        assert json.load(f)["fid"] == 1.0
+    run(3.0, steps=2)                  # FRESH run, worse fid: still wins
+    with open(meta) as f:
+        assert json.load(f)["fid"] == 3.0

@@ -10,6 +10,7 @@ import http.client
 import io
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -406,8 +407,16 @@ def test_engine_close_fails_pending_futures(unconditional):
 
     engine.gen.generate = slow_generate
     futs = [engine.sample(1, seed=s) for s in range(8)]
-    release.set()  # let the in-flight batch finish so close() can join
-    engine.close()
+    # initiate close() while the worker is still blocked inside its FIRST
+    # batch, then release it: the worker finishes that batch, sees _stop,
+    # and exits — the queued remainder must be drain-failed, never
+    # processed (deterministic: no race on how fast the worker drains)
+    closer = threading.Thread(target=engine.close)
+    closer.start()
+    time.sleep(0.3)
+    release.set()
+    closer.join(timeout=60)
+    assert not closer.is_alive()
     resolved = 0
     for f in futs:
         try:
@@ -415,9 +424,10 @@ def test_engine_close_fails_pending_futures(unconditional):
             resolved += 1
         except RuntimeError as e:
             assert "engine closed" in str(e)
-    # at least the batches the worker never reached must have been failed
-    # fast (not timed out), and none may still be pending
+    # the worker processed at most its in-flight batch (+ a carried item);
+    # everything else failed fast (not timed out), and none is pending
     assert all(f.done() for f in futs)
+    assert resolved <= 3
     assert resolved < len(futs)
 
 

@@ -51,16 +51,7 @@ def _to_jax_params(state_dict, n_logits=1008):
             for p, d in params.items()}
 
 
-def _randomize_bn(module, seed):
-    torch.manual_seed(seed)
-    with torch.no_grad():
-        for m in module.modules():
-            if isinstance(m, torch.nn.BatchNorm2d):
-                m.running_mean.normal_(0.0, 0.1)
-                m.running_var.uniform_(0.5, 1.5)
-                m.weight.normal_(1.0, 0.1)
-                m.bias.normal_(0.0, 0.1)
-    return module.eval()
+_randomize_bn = twin.randomize_bn
 
 
 def _compare_block(torch_block, jax_fn, path, cin, hw, seed, rtol=2e-5,

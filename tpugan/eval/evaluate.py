@@ -9,8 +9,9 @@ backend) in memory for repeated eval calls during training.
 from __future__ import annotations
 
 import hashlib
-from collections import OrderedDict
 from typing import Dict, Optional
+
+from tpugan.utils.cache import BoundedCache
 
 import numpy as np
 
@@ -27,22 +28,9 @@ from tpugan.sample import Sampler
 
 # Bounded LRU: each entry is ~fid_n x 2048 floats (~80 MB at defaults), and a
 # long-lived process may evaluate several datasets/slices — cap, don't leak.
-_REAL_FEAT_CACHE: OrderedDict = OrderedDict()
-_REAL_FEAT_CACHE_MAX = 4
-
-
-def _cache_get(key):
-    if key in _REAL_FEAT_CACHE:
-        _REAL_FEAT_CACHE.move_to_end(key)
-        return _REAL_FEAT_CACHE[key]
-    return None
-
-
-def _cache_put(key, value):
-    _REAL_FEAT_CACHE[key] = value
-    _REAL_FEAT_CACHE.move_to_end(key)
-    while len(_REAL_FEAT_CACHE) > _REAL_FEAT_CACHE_MAX:
-        _REAL_FEAT_CACHE.popitem(last=False)
+_REAL_FEAT_CACHE = BoundedCache(maxsize=4)
+_cache_get = _REAL_FEAT_CACHE.get
+_cache_put = _REAL_FEAT_CACHE.put
 
 
 def _array_fingerprint(a: np.ndarray) -> tuple:

@@ -49,10 +49,10 @@ def _proxy_params(channels: int):
     return params, head
 
 
-from collections import OrderedDict  # noqa: E402
+from tpugan.utils.cache import BoundedCache  # noqa: E402
 
-_EXTRACTOR_CACHE: OrderedDict = OrderedDict()
-_EXTRACTOR_CACHE_MAX = 4  # inception params are ~100 MB each — bound, not leak
+# inception params are ~100 MB each — bound, not leak
+_EXTRACTOR_CACHE = BoundedCache(maxsize=4)
 
 
 def make_extractor(channels: int, backend: str = "proxy",
@@ -63,14 +63,11 @@ def make_extractor(channels: int, backend: str = "proxy",
     eval calls (e.g. every ``train.eval_every``) reuse the compiled
     feature network."""
     key = (channels, backend, weights_path)
-    if key in _EXTRACTOR_CACHE:
-        _EXTRACTOR_CACHE.move_to_end(key)
-    else:
-        _EXTRACTOR_CACHE[key] = _make_extractor(channels, backend,
-                                                weights_path)
-        while len(_EXTRACTOR_CACHE) > _EXTRACTOR_CACHE_MAX:
-            _EXTRACTOR_CACHE.popitem(last=False)
-    return _EXTRACTOR_CACHE[key]
+    fn = _EXTRACTOR_CACHE.get(key)
+    if fn is None:
+        fn = _make_extractor(channels, backend, weights_path)
+        _EXTRACTOR_CACHE.put(key, fn)
+    return fn
 
 
 def _make_extractor(channels: int, backend: str, weights_path: str):

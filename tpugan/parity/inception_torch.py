@@ -197,20 +197,26 @@ class FIDInceptionV3(nn.Module):
         return feat, self.fc(feat)
 
 
-def make_random_twin(seed: int = 0) -> FIDInceptionV3:
-    """Random-weight twin with *non-trivial* BN statistics, so a transplant
-    comparison exercises the full BN affine math (mean/var/scale/bias), not
-    just the identity-stats case."""
+def randomize_bn(module: nn.Module, seed: int) -> nn.Module:
+    """Give every BatchNorm *non-trivial* statistics so a transplant
+    comparison exercises the full BN affine math (mean/var/scale/bias),
+    not just the identity-stats case.  Shared by make_random_twin and the
+    block-level parity tests — one recipe, no drift."""
     torch.manual_seed(seed)
-    net = FIDInceptionV3()
     with torch.no_grad():
-        for m in net.modules():
+        for m in module.modules():
             if isinstance(m, nn.BatchNorm2d):
                 m.running_mean.normal_(0.0, 0.1)
                 m.running_var.uniform_(0.5, 1.5)
                 m.weight.normal_(1.0, 0.1)
                 m.bias.normal_(0.0, 0.1)
-    return net.eval()
+    return module.eval()
+
+
+def make_random_twin(seed: int = 0) -> FIDInceptionV3:
+    """Random-weight twin with non-trivial BN statistics (see randomize_bn)."""
+    torch.manual_seed(seed)
+    return randomize_bn(FIDInceptionV3(), seed)
 
 
 def resize_to_299_torch(x: torch.Tensor) -> torch.Tensor:

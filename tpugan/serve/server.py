@@ -102,7 +102,20 @@ class BatchingEngine:
         chunks = [(z[i:i + self.max_batch],
                    None if y is None else y[i:i + self.max_batch])
                   for i in range(0, n, self.max_batch)]
-        futs = [self._enqueue(zc, yc) for zc, yc in chunks]
+        futs = []
+        try:
+            for zc, yc in chunks:
+                futs.append(self._enqueue(zc, yc))
+        except EngineOverloadedError:
+            # Shed the WHOLE request: cancel already-enqueued chunks (the
+            # worker skips done futures) so a 503'd oversized request does
+            # not leave partial device work queued — retries would
+            # otherwise amplify load instead of shedding it.
+            for f in futs:
+                if not f.done():
+                    f.set_exception(EngineOverloadedError(
+                        "request shed (queue filled mid-request)"))
+            raise
         outer: "Future[np.ndarray]" = Future()
 
         # add_done_callback runs INLINE in the submitting thread when the
@@ -137,6 +150,14 @@ class BatchingEngine:
         except queue.Full:
             raise EngineOverloadedError(
                 f"request queue full ({self._q.maxsize} pending)") from None
+        if self._stop.is_set() and not fut.done():
+            # close() may have drained the queue between our _stop check and
+            # the put — fail fast rather than letting the request dangle
+            # until its timeout (the worker tolerates already-done futures).
+            try:
+                fut.set_exception(RuntimeError("engine closed"))
+            except Exception:
+                pass  # worker resolved it concurrently — fine
         return fut
 
     def sample(self, n: int, seed: int = 0,
@@ -164,7 +185,10 @@ class BatchingEngine:
             self._q.put_nowait(None)
         except queue.Full:
             pass  # worker will see _stop after its current batch
-        self._worker.join(timeout=30)
+        # A legal in-flight batch may run up to request_timeout_s — wait at
+        # least that long before declaring the worker stuck and failing
+        # leftovers (the scatter path tolerates the residual race anyway).
+        self._worker.join(timeout=max(30.0, self.request_timeout_s + 10.0))
         # Fail any request the worker never got to (still queued, or parked
         # in _carry) so its HTTP thread errors out fast instead of blocking
         # until the future timeout.
@@ -190,10 +214,13 @@ class BatchingEngine:
         oversized requests to at most max_batch each): an item that would
         overshoot is carried over to lead the next batch.
         """
-        first = self._carry or self._q.get()
-        self._carry = None
-        if first is None:
-            return None
+        while True:
+            first = self._carry or self._q.get()
+            self._carry = None
+            if first is None:
+                return None
+            if not first[2].done():  # skip cancelled/shed requests
+                break
         items = [first]
         total = first[0].shape[0]
         deadline = time.monotonic() + self.linger_s
@@ -211,6 +238,8 @@ class BatchingEngine:
                 except queue.Full:
                     pass
                 break
+            if item[2].done():  # cancelled/shed while queued
+                continue
             if total + item[0].shape[0] > self.max_batch:
                 self._carry = item
                 break
@@ -248,8 +277,11 @@ class BatchingEngine:
             except Exception as e:
                 # fail only this batch; the worker must survive anything
                 for _, _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    try:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    except Exception:
+                        pass
                 continue
             self.stats["batches"] += 1
             self.stats["requests"] += len(items)
@@ -258,7 +290,12 @@ class BatchingEngine:
             off = 0
             for z, _, fut in items:
                 k = z.shape[0]
-                fut.set_result(imgs[off:off + k])
+                try:
+                    fut.set_result(imgs[off:off + k])
+                except Exception:
+                    pass  # request failed/cancelled concurrently (e.g. a
+                    # close() that gave up on a long batch) — never let a
+                    # future race kill the worker
                 off += k
 
 
@@ -269,15 +306,19 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _reply(self, code: int, body: bytes, ctype: str) -> None:
+    def _reply(self, code: int, body: bytes, ctype: str,
+               extra_headers=None) -> None:
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
-    def _reply_json(self, code: int, obj) -> None:
-        self._reply(code, json.dumps(obj).encode(), "application/json")
+    def _reply_json(self, code: int, obj, extra_headers=None) -> None:
+        self._reply(code, json.dumps(obj).encode(), "application/json",
+                    extra_headers)
 
     def do_GET(self):
         if self.path == "/healthz":
@@ -340,13 +381,8 @@ class _Handler(BaseHTTPRequestHandler):
             imgs = self.engine.sample(n, seed, labels).result(
                 timeout=self.engine.request_timeout_s)
         except EngineOverloadedError as e:
-            self.send_response(503)
-            self.send_header("Retry-After", "1")
-            body = json.dumps({"error": str(e)}).encode()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._reply_json(503, {"error": str(e)},
+                             extra_headers={"Retry-After": "1"})
             return
         except Exception as e:
             self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})

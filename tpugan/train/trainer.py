@@ -203,9 +203,14 @@ class Trainer:
     def _save_best_watermark(self, step: int, fid: float) -> None:
         import json
 
+        if jax.process_index() != 0:
+            # multi-host: the FID is replicated; only process 0 writes the
+            # shared file (same gating as PNGs/metrics — concurrent
+            # os.replace on one path would race)
+            return
         path = self._best_meta_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"fid": float(fid), "step": int(step)}, f)
         os.replace(tmp, path)
@@ -317,11 +322,15 @@ class Trainer:
         best_ckpt = None
         if not hasattr(self, "_best_fid"):
             self._best_fid = float("inf")
-        if cfg.train.keep_best:
-            # The watermark must survive preemption: a resumed run that
+        if cfg.train.keep_best and cfg.train.resume:
+            # The watermark must survive preemption: a RESUMED run that
             # reset it to inf would overwrite ckpt_dir/best with a worse
             # model on its first eval — exactly the preemptible runs
             # keep_best targets.  Persisted beside the best checkpoint.
+            # Gated on resume: a FRESH run in a reused ckpt_dir must not
+            # inherit a stale watermark (it would silently never update
+            # 'best', leaving the previous run's weights as the deploy
+            # point).
             prev_best = self._load_best_watermark()
             if prev_best is not None:
                 self._best_fid = min(self._best_fid, prev_best)
