@@ -202,3 +202,68 @@ def test_device_resident_dp_actually_partitions():
     # and it actually runs
     s2, m = step(state, {"dataset_images": ds})
     assert np.isfinite(float(m["loss_d"]))
+
+
+def test_trainer_fsdp_wiring(tmp_path):
+    """train.fsdp_shards: the Trainer builds the (data, model) mesh itself,
+    params/opt actually shard over 'model', training matches the
+    single-device run, and checkpoint resume restores the FSDP placement."""
+    import dataclasses
+
+    from tpugan.train import Trainer
+
+    def make_cfg(tmp, steps, fsdp, resume=""):
+        cfg = tiny().override({
+            "data.synthetic_size": 64, "train.total_steps": steps,
+            "train.log_every": 100, "train.sample_every": 0,
+            "train.ckpt_every": 0, "train.donate": False,
+            "train.mesh_shape": 4 if fsdp else None,
+            "train.fsdp_shards": 2 if fsdp else 0})
+        return dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ckpt_dir=tmp + "/ckpt", out_dir=tmp + "/out",
+            resume=resume))
+
+    data = {"images": np.random.default_rng(0).integers(
+        0, 256, size=(64, 32, 32, 3)).astype(np.uint8)}
+
+    t1 = Trainer(make_cfg(str(tmp_path / "a"), 4, fsdp=False),
+                 data=dict(data))
+    t1.train()
+
+    t8 = Trainer(make_cfg(str(tmp_path / "b"), 4, fsdp=True),
+                 data=dict(data))
+    assert tuple(t8.mesh.axis_names) == ("data", "model")
+    w = t8.state.params_g["block0"]["conv"]["w"]
+    shard_shapes = {tuple(s.data.shape) for s in w.addressable_shards}
+    assert all(s[-1] == w.shape[-1] // 2 for s in shard_shapes), shard_shapes
+    t8.train()
+
+    assert int(t8.state.step) == 4
+    for a, c in zip(jax.tree.leaves(jax.device_get(t1.state.params_g)),
+                    jax.tree.leaves(jax.device_get(t8.state.params_g))):
+        np.testing.assert_allclose(a, c, rtol=2e-3, atol=5e-5)
+
+    # resume restores the FSDP placement and continues
+    from tpugan.ckpt import CheckpointManager
+
+    ck = CheckpointManager(str(tmp_path / "b/ckpt"))
+    t8.save_checkpoint(ck)
+    ck.close()
+    t9 = Trainer(make_cfg(str(tmp_path / "c"), 6, fsdp=True,
+                          resume=str(tmp_path / "b/ckpt")), data=dict(data))
+    t9.train()
+    assert int(t9.state.step) == 6
+    w9 = t9.state.params_g["block0"]["conv"]["w"]
+    assert {tuple(s.data.shape) for s in w9.addressable_shards} == \
+        shard_shapes
+
+
+def test_trainer_fsdp_rejects_spatial_combo(tmp_path):
+    import dataclasses
+
+    from tpugan.train import Trainer
+
+    cfg = tiny().override({"train.fsdp_shards": 2,
+                           "train.spatial_shards": 2})
+    with pytest.raises(ValueError, match="second mesh axis"):
+        Trainer(cfg)

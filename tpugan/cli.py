@@ -66,7 +66,9 @@ def cmd_train(args):
             cfg.train, resume=args.resume))
     print(cfg.to_json())
     mesh = None
-    if cfg.train.mesh_shape:
+    if cfg.train.mesh_shape and not cfg.train.fsdp_shards:
+        # plain DP mesh; with fsdp_shards/spatial_shards set the Trainer
+        # builds the 2-D mesh itself from mesh_shape x that axis
         from tpugan.parallel import make_mesh
 
         mesh = make_mesh(cfg.train.mesh_shape)

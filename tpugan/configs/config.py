@@ -158,6 +158,12 @@ class TrainConfig:
     # ('data', 'space') mesh (mesh_shape x spatial_shards devices); alone
     # it runs pure spatial over spatial_shards devices.
     spatial_shards: int = 0
+    # FSDP/ZeRO-3-style parameter sharding: shard params + optimizer
+    # moments over a second 'model' mesh axis (fsdp_shards devices); XLA
+    # all-gathers weights on use and reduce-scatters gradients.  Combine
+    # with mesh_shape for the 2-D (data, model) mesh; mutually exclusive
+    # with spatial_shards (both claim the second axis).
+    fsdp_shards: int = 0
     resume: str = ""  # checkpoint path/dir to resume from
 
 

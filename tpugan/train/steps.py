@@ -227,11 +227,13 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             x_real = jnp.take(batch["dataset_images"], idx, axis=0)
             y_real = (jnp.take(batch["dataset_labels"], idx, axis=0)
                       if "dataset_labels" in batch else None)
-            if (mesh is not None and tuple(mesh.axis_names) == ("data",)
+            if (mesh is not None and "data" in mesh.axis_names
+                    and "space" not in mesh.axis_names
                     and mesh.devices.size > 1):
                 # Shard the gathered batch over 'data' (the dataset itself is
                 # replicated): from here the step partitions exactly like the
-                # host-pipeline DP path, grad psums inserted by XLA.  The
+                # host-pipeline DP path, grad psums inserted by XLA.  Covers
+                # the plain ('data',) and FSDP ('data','model') meshes; the
                 # ('data','space') 2-D mesh path keeps its own placement
                 # (dataset H-sharded by the trainer).
                 from jax.sharding import NamedSharding, PartitionSpec as P

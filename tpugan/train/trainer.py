@@ -105,6 +105,10 @@ class Trainer:
         self.g, self.d = build_models(cfg.model, cfg.train.precision)
         self.state: TrainState = create_train_state(cfg, self.g, self.d)
         self.mesh = mesh
+        # how restore() re-places a freshly-restored host state on the mesh
+        from tpugan.parallel import shard_train_state as _place_dp
+
+        self._place_state = _place_dp
         self.batch_sharding = None
         if mesh is not None:
             from tpugan.parallel import shard_train_state, batch_sharding
@@ -144,6 +148,28 @@ class Trainer:
             devs = jax.devices()[:cfg.train.spatial_shards]
             self.spatial_mesh = Mesh(_np.array(devs), ("space",))
             set_spatial_mesh(self.spatial_mesh)
+        # FSDP: shard params + optimizer moments over a second 'model'
+        # axis (ZeRO-3 as shardings — parallel/fsdp.py); supersedes the
+        # plain-DP placement done above, same compiled step.
+        if cfg.train.fsdp_shards > 0:
+            if cfg.train.spatial_shards > 0:
+                raise ValueError(
+                    "train.fsdp_shards and train.spatial_shards both claim "
+                    "the second mesh axis; choose one")
+            from tpugan.parallel.fsdp import (
+                batch_sharding_2d,
+                make_mesh_2d,
+                shard_train_state_fsdp,
+            )
+
+            n_model = cfg.train.fsdp_shards
+            n_data = (cfg.train.mesh_shape
+                      or max(len(jax.devices()) // n_model, 1))
+            self.mesh = make_mesh_2d(n_data, n_model)
+            self.state = shard_train_state_fsdp(self.state, self.mesh)
+            self.batch_sharding = batch_sharding_2d(self.mesh)
+            self._place_state = shard_train_state_fsdp
+
         # fuse_stats guard, re-checked against the FINAL placement (the 2-D
         # DP x spatial branch above may have built a multi-device mesh after
         # the first check): the fused BN-stats path is single-chip only.
@@ -182,9 +208,8 @@ class Trainer:
         ckpt = CheckpointManager(path_or_dir)
         self.state = TrainState(**ckpt.restore(dict(self.state)))
         if self.mesh is not None:
-            from tpugan.parallel import shard_train_state
-
-            self.state = shard_train_state(self.state, self.mesh)
+            # replicated for DP, FSDP-sharded under fsdp_shards
+            self.state = self._place_state(self.state, self.mesh)
         return int(self.state.step)
 
     # -- keep_best watermark -------------------------------------------------
