@@ -57,3 +57,15 @@ def test_bad_override_is_actionable(tmp_path):
 def test_sample_without_config_errors(tmp_path):
     with pytest.raises(SystemExit, match="config.json"):
         cli.main(["sample", "--ckpt", str(tmp_path), "--out", "x.png"])
+
+
+def test_profile_reports_costs_and_rate(capsys):
+    out = run_cli(capsys, "profile", "dcgan_cifar10",
+                  "--set", "model.ngf=8", "--set", "model.ndf=8",
+                  "--set", "model.nz=8", "--set", "data.batch_size=16",
+                  "--set", "train.precision=fp32", "--iters", "2")
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["flops_per_step"] > 1e6          # XLA cost analysis present
+    assert rec["bytes_accessed"] > 0
+    assert rec["ms_per_step"] > 0
+    assert rec["images_per_sec"] > 0

@@ -173,6 +173,53 @@ def cmd_serve(args):
     serve_forever(engine, host=args.host, port=args.port)
 
 
+def cmd_profile(args):
+    """One-stop train-step performance probe for a preset: compiled-cost
+    FLOPs/bytes (XLA's own analysis), measured ms/step, achieved TFLOP/s
+    and images/sec — plus an optional XProf trace.  The discoverable CLI
+    face of utils/profiling.py (the roofline evidence path in BASELINE.md).
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from tpugan.configs import get_preset
+    from tpugan.models import build_models
+    from tpugan.train import build_train_step, create_train_state
+    from tpugan.utils.profiling import cost_analysis, timeit, trace
+
+    cfg = get_preset(args.preset).override(_parse_sets(args.set))
+    cfg = cfg.override({"data.dataset": "synthetic",
+                        "train.donate": False,  # reuse args across timings
+                        "train.steps_per_call": 1})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    step = build_train_step(cfg, g, d)
+    s, c = cfg.model.image_size, cfg.model.channels
+    batch = {"image": jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(cfg.data.batch_size, s, s, c)).astype(np.uint8))}
+
+    costs = cost_analysis(lambda st, b: step(st, b), state, batch)
+    sec = timeit(lambda: step(state, batch), iters=args.iters, warmup=2)
+    flops = costs.get("flops", 0.0)
+    out = {
+        "preset": args.preset,
+        "batch": cfg.data.batch_size,
+        "precision": cfg.train.precision,
+        "flops_per_step": flops,
+        "bytes_accessed": costs.get("bytes accessed", 0.0),
+        "ms_per_step": round(sec * 1e3, 4),
+        "achieved_tflops": round(flops / sec / 1e12, 4) if sec else 0.0,
+        "images_per_sec": round(cfg.data.batch_size / sec, 1),
+    }
+    if args.trace:
+        with trace(args.trace):
+            for _ in range(3):
+                step(state, batch)
+        out["trace_dir"] = args.trace
+    print(json.dumps(out))
+
+
 def cmd_convert_inception(args):
     """Torch FID-InceptionV3 state_dict -> our weight pickle.
 
@@ -268,6 +315,14 @@ def main(argv=None):
     sub.add_parser("bench", help="north-star throughput benchmark "
                    "(flags pass through to bench.py, e.g. --quick)")
 
+    p = sub.add_parser("profile", help="train-step cost/rate probe "
+                       "(XLA cost analysis + measured ms/step)")
+    p.add_argument("preset")
+    p.add_argument("--set", action="append", metavar="key=value")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--trace", default="", help="also capture an XProf "
+                   "trace into this directory")
+
     p = sub.add_parser(
         "convert-inception",
         help="convert a pytorch-fid InceptionV3 state_dict (.pth) to the "
@@ -283,7 +338,7 @@ def main(argv=None):
     args.rest = extra
     {"presets": cmd_presets, "train": cmd_train, "sample": cmd_sample,
      "eval": cmd_eval, "export": cmd_export, "serve": cmd_serve,
-     "bench": cmd_bench,
+     "bench": cmd_bench, "profile": cmd_profile,
      "convert-inception": cmd_convert_inception}[args.cmd](args)
 
 
