@@ -178,6 +178,11 @@ def cmd_profile(args):
     FLOPs/bytes (XLA's own analysis), measured ms/step, achieved TFLOP/s
     and images/sec — plus an optional XProf trace.  The discoverable CLI
     face of utils/profiling.py (the roofline evidence path in BASELINE.md).
+
+    Note: ms_per_step is wall-clock per *dispatch* — on a remote/tunneled
+    backend it includes the fixed per-call relay overhead.  For
+    overhead-cancelled device numbers use bench.py (chained on-device
+    fori_loop + least-squares slope).
     """
     import numpy as np
 
