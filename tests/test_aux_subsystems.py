@@ -284,9 +284,9 @@ def test_keep_best_fresh_run_resets_watermark(tmp_path, monkeypatch):
 
     tmp = str(tmp_path)
 
-    def run(fid_value, steps, resume=""):
+    def run(fid_fn, steps, resume=""):
         def fake_eval(cfg, g, params_g, state_g, *, seed=0, real_images=None):
-            return {"fid": fid_value, "kid": 0.0, "kid_std": 0.0,
+            return {"fid": fid_fn(), "kid": 0.0, "kid_std": 0.0,
                     "is_mean": 1.0, "is_std": 0.0, "n": 8, "backend": "proxy"}
 
         monkeypatch.setattr(tpe, "evaluate", fake_eval)
@@ -297,9 +297,17 @@ def test_keep_best_fresh_run_resets_watermark(tmp_path, monkeypatch):
         Trainer(cfg).train()
 
     meta = os.path.join(tmp, "ckpt", "best", "best_fid.json")
-    run(1.0, steps=2)                  # first run: best = 1.0
+    fids = iter([2.0, 1.0])
+    run(lambda: next(fids), steps=4)   # first run: best improves to step 4
     with open(meta) as f:
-        assert json.load(f)["fid"] == 1.0
-    run(3.0, steps=2)                  # FRESH run, worse fid: still wins
+        rec = json.load(f)
+    assert rec["fid"] == 1.0 and rec["step"] == 4
+
+    run(lambda: 3.0, steps=2)          # FRESH run, worse fid: still wins
     with open(meta) as f:
-        assert json.load(f)["fid"] == 3.0
+        rec = json.load(f)
+    assert rec["fid"] == 3.0 and rec["step"] == 2
+    # and the CHECKPOINT is the fresh run's too, not a stale higher step
+    # left by orbax's skip-existing/keep-highest behavior
+    t = Trainer(_tiny_cfg(tmp, 2))
+    assert t.restore(os.path.join(tmp, "ckpt", "best")) == 2

@@ -69,3 +69,13 @@ def test_profile_reports_costs_and_rate(capsys):
     assert rec["bytes_accessed"] > 0
     assert rec["ms_per_step"] > 0
     assert rec["images_per_sec"] > 0
+
+
+def test_profile_conditional_preset(capsys):
+    out = run_cli(capsys, "profile", "cdcgan_celeba128",
+                  "--set", "model.image_size=32", "--set", "model.ngf=8",
+                  "--set", "model.ndf=8", "--set", "model.nz=8",
+                  "--set", "data.batch_size=8",
+                  "--set", "train.precision=fp32", "--iters", "1")
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["flops_per_step"] > 1e6 and rec["ms_per_step"] > 0

@@ -267,3 +267,8 @@ def test_trainer_fsdp_rejects_spatial_combo(tmp_path):
                            "train.spatial_shards": 2})
     with pytest.raises(ValueError, match="second mesh axis"):
         Trainer(cfg)
+    # the rejection must not leak trace-time spatial dispatch state into
+    # the process (validation runs before any global side effect)
+    from tpugan.parallel.spatial import spatial_active
+
+    assert not spatial_active()

@@ -35,7 +35,15 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, config_json: str = "") -> None:
         ocp = self._ocp
-        self.mgr.save(int(step), args=ocp.args.StandardSave(state))
+        step = int(step)
+        # torch.save overwrite semantics: orbax refuses to write a step
+        # number that already exists (raises StepAlreadyExistsError with
+        # force=True, silently skips without) — which would leave STALE
+        # weights in a reused directory.  Delete-then-save instead.
+        if step in (self.mgr.all_steps() or []):
+            self.mgr.wait_until_finished()
+            self.mgr.delete(step)
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
         if config_json:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 f.write(config_json)

@@ -201,8 +201,13 @@ def cmd_profile(args):
     state = create_train_state(cfg, g, d)
     step = build_train_step(cfg, g, d)
     s, c = cfg.model.image_size, cfg.model.channels
-    batch = {"image": jnp.asarray(np.random.default_rng(0).integers(
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(rng.integers(
         0, 256, size=(cfg.data.batch_size, s, s, c)).astype(np.uint8))}
+    if cfg.model.arch == "cdcgan":
+        batch["label"] = jnp.asarray(rng.integers(
+            0, max(cfg.model.n_classes, 1),
+            size=(cfg.data.batch_size,)).astype(np.int32))
 
     costs = cost_analysis(lambda st, b: step(st, b), state, batch)
     sec = timeit(lambda: step(state, batch), iters=args.iters, warmup=2)

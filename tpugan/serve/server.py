@@ -112,9 +112,12 @@ class BatchingEngine:
             # not leave partial device work queued — retries would
             # otherwise amplify load instead of shedding it.
             for f in futs:
-                if not f.done():
-                    f.set_exception(EngineOverloadedError(
-                        "request shed (queue filled mid-request)"))
+                try:
+                    if not f.done():
+                        f.set_exception(EngineOverloadedError(
+                            "request shed (queue filled mid-request)"))
+                except Exception:
+                    pass  # worker completed it in the race window — fine
             raise
         outer: "Future[np.ndarray]" = Future()
 
@@ -202,8 +205,11 @@ class BatchingEngine:
             if item is not None:
                 leftovers.append(item)
         for _, _, fut in leftovers:
-            if not fut.done():
-                fut.set_exception(RuntimeError("engine closed"))
+            try:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("engine closed"))
+            except Exception:
+                pass  # racing _enqueue's own fail-fast — already resolved
 
     # -- worker -------------------------------------------------------------
 

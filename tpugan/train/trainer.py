@@ -92,6 +92,14 @@ class Trainer:
     def __init__(self, cfg: Config, data: Optional[dict] = None,
                  mesh: Optional[jax.sharding.Mesh] = None):
         self.cfg = cfg
+        # Config validation FIRST — before any process-global side effect
+        # (set_spatial_mesh below mutates trace-time dispatch state that
+        # must not leak out of a rejected constructor).
+        if cfg.train.fsdp_shards > 0 and cfg.train.spatial_shards > 0:
+            raise ValueError(
+                "train.fsdp_shards and train.spatial_shards both claim "
+                "the second mesh axis; choose one")
+        self._restored = False  # set by restore(): gates watermark reload
         # NOTE: train.kernels affects SAMPLING/EVAL only (the Pallas kernels
         # have no autodiff rules — the differentiated train step always uses
         # the XLA conv path; see DESIGN.md §4).  train.fuse_stats is the one
@@ -152,10 +160,6 @@ class Trainer:
         # axis (ZeRO-3 as shardings — parallel/fsdp.py); supersedes the
         # plain-DP placement done above, same compiled step.
         if cfg.train.fsdp_shards > 0:
-            if cfg.train.spatial_shards > 0:
-                raise ValueError(
-                    "train.fsdp_shards and train.spatial_shards both claim "
-                    "the second mesh axis; choose one")
             from tpugan.parallel.fsdp import (
                 batch_sharding_2d,
                 make_mesh_2d,
@@ -210,6 +214,7 @@ class Trainer:
         if self.mesh is not None:
             # replicated for DP, FSDP-sharded under fsdp_shards
             self.state = self._place_state(self.state, self.mesh)
+        self._restored = True
         return int(self.state.step)
 
     # -- keep_best watermark -------------------------------------------------
@@ -259,6 +264,16 @@ class Trainer:
         if cfg.train.resume:
             start = self.restore(cfg.train.resume)
             print(f"resumed from step {start}")
+        elif not self._restored:
+            prev = ckpt.latest_step()
+            if prev is not None and prev > int(self.state.step):
+                # reused ckpt_dir: same-numbered steps are overwritten, but
+                # the old run's HIGHER steps would still win latest_step()
+                # on a later resume — tell the user now, not at deploy time
+                print(f"warning: {cfg.train.ckpt_dir} already holds step "
+                      f"{prev} from a previous run; this fresh run starts "
+                      f"at 0 — pass train.resume to continue the old run, "
+                      f"or use a fresh ckpt_dir to avoid mixed checkpoints")
 
         data = self._dataset()
         k_steps = max(cfg.train.steps_per_call, 1)
@@ -347,18 +362,28 @@ class Trainer:
         best_ckpt = None
         if not hasattr(self, "_best_fid"):
             self._best_fid = float("inf")
-        if cfg.train.keep_best and cfg.train.resume:
-            # The watermark must survive preemption: a RESUMED run that
-            # reset it to inf would overwrite ckpt_dir/best with a worse
-            # model on its first eval — exactly the preemptible runs
-            # keep_best targets.  Persisted beside the best checkpoint.
-            # Gated on resume: a FRESH run in a reused ckpt_dir must not
-            # inherit a stale watermark (it would silently never update
-            # 'best', leaving the previous run's weights as the deploy
-            # point).
-            prev_best = self._load_best_watermark()
-            if prev_best is not None:
-                self._best_fid = min(self._best_fid, prev_best)
+        if cfg.train.keep_best:
+            if self._restored:
+                # The watermark must survive preemption: a RESUMED run
+                # (via train.resume OR an explicit Trainer.restore()) that
+                # reset it to inf would overwrite ckpt_dir/best with a
+                # worse model on its first eval — exactly the preemptible
+                # runs keep_best targets.
+                prev_best = self._load_best_watermark()
+                if prev_best is not None:
+                    self._best_fid = min(self._best_fid, prev_best)
+            elif jax.process_index() == 0:
+                # FRESH run: the best slot belongs to this run.  Clear any
+                # stale previous-run contents — orbax silently skips saving
+                # an already-existing step and its retention keeps the
+                # HIGHEST step, so without the reset a reused ckpt_dir
+                # would keep the old run's weights under this run's
+                # freshly-written watermark (inconsistent deploy point).
+                best_dir = os.path.join(cfg.train.ckpt_dir, "best")
+                if os.path.isdir(best_dir):
+                    import shutil
+
+                    shutil.rmtree(best_dir)
         if self.spatial_mesh is not None:
             # (re-)install the spatial dispatch context for this run — it
             # is cleared in the finally below so it cannot leak into other
