@@ -390,3 +390,88 @@ def test_linear_lr_schedule_decays_g_under_n_critic():
     # update runs at 50% LR while the first two run at full LR.
     assert lin[-1] < 0.75 * lin[0], lin
     assert const[-1] > 0.75 * const[0], const
+
+
+def test_grad_accum_matches_full_batch():
+    """train.grad_accum=4: with batchnorm off the averaged microbatch
+    gradients equal the full-batch gradients exactly, so the trained params
+    must match the accum=1 step to float tolerance — for the plain D/G path
+    AND the WGAN-GP double-backward path (per-microbatch penalty terms)."""
+    import jax
+
+    def run(accum, kind):
+        cfg = get_preset("dcgan_mnist").override({
+            "data.dataset": "synthetic", "data.batch_size": 16,
+            "data.synthetic_size": 16, "model.ngf": 8, "model.ndf": 8,
+            "model.nz": 8, "model.g_batchnorm": False,
+            "model.d_batchnorm": False, "train.precision": "fp32",
+            "train.donate": False, "train.grad_accum": accum,
+            "loss.kind": kind, "loss.n_critic": 1})
+        g, d = build_models(cfg.model, cfg.train.precision)
+        step = build_train_step(cfg, g, d)
+        state = create_train_state(cfg, g, d)
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            batch = {
+                "image": jnp.asarray(rng.integers(
+                    0, 256, size=(16, 28, 28, 1)).astype(np.uint8)),
+                "z_d": jnp.asarray(
+                    rng.standard_normal((16, 8)).astype(np.float32)),
+                "z_g": jnp.asarray(
+                    rng.standard_normal((16, 8)).astype(np.float32)),
+            }
+            if kind == "wgan_gp":
+                batch["gp_alpha"] = jnp.asarray(
+                    rng.random((16, 1, 1, 1)).astype(np.float32))
+            state, m = step(state, batch)
+        return state, m
+
+    for kind in ("bce", "wgan_gp"):
+        s1, m1 = run(1, kind)
+        s4, m4 = run(4, kind)
+        np.testing.assert_allclose(float(m4["loss_d"]), float(m1["loss_d"]),
+                                   rtol=1e-5, err_msg=kind)
+        for a, b in zip(jax.tree.leaves(jax.device_get(s1.params_g)),
+                        jax.tree.leaves(jax.device_get(s4.params_g))):
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6,
+                                       err_msg=kind)
+        for a, b in zip(jax.tree.leaves(jax.device_get(s1.params_d)),
+                        jax.tree.leaves(jax.device_get(s4.params_d))):
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6,
+                                       err_msg=kind)
+
+
+def test_grad_accum_with_batchnorm_trains():
+    """With batchnorm on, accumulation is the standard per-microbatch-BN
+    tradeoff — assert it trains finitely (incl. under scan-fused
+    steps_per_call) rather than bit-matching."""
+    cfg = get_preset("dcgan_mnist").override({
+        "data.dataset": "synthetic", "data.batch_size": 16,
+        "data.synthetic_size": 32, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "train.precision": "fp32", "train.donate": False,
+        "train.grad_accum": 4, "train.steps_per_call": 2,
+        "data.device_resident": True})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    step = build_train_step(cfg, g, d)
+    state = create_train_state(cfg, g, d)
+    data = np.random.default_rng(0).integers(
+        0, 256, size=(32, 28, 28, 1)).astype(np.uint8)
+    state, m = step(state, {"dataset_images": jnp.asarray(data)})
+    assert int(state.step) == 2
+    assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_grad_accum_rejects_bad_combos():
+    cfg = get_preset("dcgan_mnist").override({
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "data.batch_size": 16, "train.grad_accum": 3})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    with pytest.raises(ValueError, match="divisible"):
+        build_train_step(cfg, g, d)
+    cfg2 = get_preset("dcgan_mnist").override({
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "data.batch_size": 16, "train.grad_accum": 4,
+        "train.fused_prop": True})
+    g2, d2 = build_models(cfg2.model, cfg2.train.precision)
+    with pytest.raises(ValueError, match="fused_prop"):
+        build_train_step(cfg2, g2, d2)

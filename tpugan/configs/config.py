@@ -164,6 +164,11 @@ class TrainConfig:
     # with mesh_shape for the 2-D (data, model) mesh; mutually exclusive
     # with spatial_shards (both claim the second axis).
     fsdp_shards: int = 0
+    # Gradient accumulation: split each batch into this many microbatches
+    # run sequentially (activation memory of one microbatch), average the
+    # gradients, apply ONE optimizer update.  Exact full-batch gradients
+    # except BatchNorm normalizes per microbatch.  batch_size must divide.
+    grad_accum: int = 1
     resume: str = ""  # checkpoint path/dir to resume from
 
 

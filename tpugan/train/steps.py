@@ -200,6 +200,73 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
 
     clip = cfg.loss.clip_value if kind == "wgan" else None
 
+    # ---- gradient accumulation ---------------------------------------------
+    # A memory lever, not a semantics no-op: the batch splits into `accum`
+    # microbatches whose forwards/backwards run SEQUENTIALLY under lax.scan
+    # (activation memory of one microbatch), gradients averaged before the
+    # single optimizer update.  Loss terms are batch means, so the averaged
+    # gradient equals the full-batch gradient exactly — except BatchNorm,
+    # which normalizes per microbatch (the standard accumulation tradeoff;
+    # with batchnorm off the equivalence is exact, see
+    # tests/test_train_step.py::test_grad_accum_matches_full_batch).
+    accum = max(cfg.train.grad_accum, 1)
+    if accum > 1:
+        if fused_prop:
+            raise ValueError("train.grad_accum requires fused_prop off "
+                             "(the fused path shares one full-batch "
+                             "linearization)")
+        if cfg.data.batch_size % accum:
+            raise ValueError(
+                f"data.batch_size {cfg.data.batch_size} not divisible by "
+                f"train.grad_accum {accum}")
+
+    def _chunk(t):
+        return (None if t is None
+                else t.reshape((accum, t.shape[0] // accum) + t.shape[1:]))
+
+    def accum_d_grads(params_d, state_d0, params_g, state_g0, x_real,
+                      y_real, z_d, y_fake_d, k_gp, gp_alpha):
+        mbs = {"x": _chunk(x_real), "z": _chunk(z_d),
+               "kg": jax.random.split(k_gp, accum)}
+        if y_real is not None:
+            mbs["yr"] = _chunk(y_real)
+        if y_fake_d is not None:
+            mbs["yf"] = _chunk(y_fake_d)
+        if gp_alpha is not None:
+            mbs["ga"] = _chunk(gp_alpha)
+
+        def body(carry, mb):
+            acc, sd, sg = carry
+            g, (sd, sg, m) = d_grad(
+                params_d, sd, params_g, sg, mb["x"], mb.get("yr"),
+                mb["z"], mb.get("yf"), mb["kg"], mb.get("ga"))
+            return (jax.tree.map(jnp.add, acc, g), sd, sg), m
+
+        zero = jax.tree.map(jnp.zeros_like, params_d)
+        (gsum, sd, sg), ms = lax.scan(body, (zero, state_d0, state_g0), mbs)
+        grads = jax.tree.map(lambda t: (t / accum).astype(t.dtype), gsum)
+        return grads, (sd, sg, {k: jnp.mean(v) for k, v in ms.items()})
+
+    def accum_g_update(params_g, state_g0, params_d, state_d0, z_g,
+                      y_fake_g):
+        mbs = {"z": _chunk(z_g)}
+        if y_fake_g is not None:
+            mbs["yf"] = _chunk(y_fake_g)
+
+        def body(carry, mb):
+            acc, lsum, sg, sd = carry
+            (lg, (sg, sd)), gg = jax.value_and_grad(
+                g_loss, argnums=0, has_aux=True)(
+                    params_g, sg, params_d, sd, mb["z"], mb.get("yf"))
+            return (jax.tree.map(jnp.add, acc, gg), lsum + lg, sg, sd), None
+
+        zero = jax.tree.map(jnp.zeros_like, params_g)
+        (gsum, lsum, sg, sd), _ = lax.scan(
+            body, (zero, jnp.zeros((), jnp.float32), state_g0, state_d0),
+            mbs)
+        grads = jax.tree.map(lambda t: (t / accum).astype(t.dtype), gsum)
+        return grads, lsum / accum, sg, sd
+
     hflip = cfg.data.hflip
     ema_decay = cfg.train.ema
 
@@ -294,9 +361,16 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
                 rng=rng, step=state.step + 1, params_g_ema=ema,
             ), dict(metrics, loss_g=loss_g)
 
-        grads, (state_d, state_g, metrics) = d_grad(
-            state.params_d, state.state_d, state.params_g, state.state_g,
-            x_real, y_real, z_d, y_fake_d, k_gp, batch.get("gp_alpha"))
+        if accum > 1:
+            grads, (state_d, state_g, metrics) = accum_d_grads(
+                state.params_d, state.state_d, state.params_g,
+                state.state_g, x_real, y_real, z_d, y_fake_d, k_gp,
+                batch.get("gp_alpha"))
+        else:
+            grads, (state_d, state_g, metrics) = d_grad(
+                state.params_d, state.state_d, state.params_g,
+                state.state_g, x_real, y_real, z_d, y_fake_d, k_gp,
+                batch.get("gp_alpha"))
         updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
         params_d = jax.tree.map(jnp.add, state.params_d, updates)
         if clip is not None:
@@ -315,9 +389,13 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
 
         def do_g_with_loss(args):
             params_g, opt_g, state_g, state_d, ema = args
-            (loss_g, (state_g, state_d)), grads_g = jax.value_and_grad(
-                g_loss, argnums=0, has_aux=True)(
+            if accum > 1:
+                grads_g, loss_g, state_g, state_d = accum_g_update(
                     params_g, state_g, params_d, state_d, z_g, y_fake_g)
+            else:
+                (loss_g, (state_g, state_d)), grads_g = jax.value_and_grad(
+                    g_loss, argnums=0, has_aux=True)(
+                        params_g, state_g, params_d, state_d, z_g, y_fake_g)
             updates_g, opt_g = tx_g.update(grads_g, opt_g, params_g)
             params_g = jax.tree.map(jnp.add, params_g, updates_g)
             if ema is not None:
