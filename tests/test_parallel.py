@@ -272,3 +272,29 @@ def test_trainer_fsdp_rejects_spatial_combo(tmp_path):
     from tpugan.parallel.spatial import spatial_active
 
     assert not spatial_active()
+
+
+def test_grad_accum_composes_with_dp():
+    """grad_accum under a DP mesh: microbatches stay batch-sharded (each
+    scan iteration works on B/accum rows split over 'data') and the result
+    matches the single-device accumulated step."""
+    cfg = tiny().override({"train.grad_accum": 2, "train.donate": False,
+                           "model.g_batchnorm": False,
+                           "model.d_batchnorm": False})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    step = build_train_step(cfg, g, d)
+    b = batch(cfg)
+
+    s1 = create_train_state(cfg, g, d)
+    s1, m1 = step(s1, b)
+
+    mesh = make_mesh(8)
+    s8 = shard_train_state(create_train_state(cfg, g, d), mesh)
+    b8 = jax.device_put(b, batch_sharding(mesh))
+    s8, m8 = step(s8, b8)
+
+    np.testing.assert_allclose(float(m8["loss_d"]), float(m1["loss_d"]),
+                               rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(jax.device_get(s1.params_g)),
+                    jax.tree.leaves(jax.device_get(s8.params_g))):
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
