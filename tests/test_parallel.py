@@ -289,9 +289,16 @@ def test_grad_accum_composes_with_dp():
     s1, m1 = step(s1, b)
 
     mesh = make_mesh(8)
+    # the step must be built mesh-aware so the scanned microbatches carry
+    # their 'data' sharding constraint (grad_accum=2 on batch 16 -> 8-row
+    # microbatches over 8 devices)
+    step8 = build_train_step(cfg, g, d, mesh=mesh)
     s8 = shard_train_state(create_train_state(cfg, g, d), mesh)
     b8 = jax.device_put(b, batch_sharding(mesh))
-    s8, m8 = step(s8, b8)
+    # partitioned execution, not replicated: collectives in the compiled HLO
+    txt = step8.lower(s8, b8).compile().as_text()
+    assert "all-reduce" in txt
+    s8, m8 = step8(s8, b8)
 
     np.testing.assert_allclose(float(m8["loss_d"]), float(m1["loss_d"]),
                                rtol=1e-4)

@@ -462,6 +462,12 @@ def test_grad_accum_with_batchnorm_trains():
 
 
 def test_grad_accum_rejects_bad_combos():
+    cfg0 = get_preset("dcgan_mnist").override({
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "train.grad_accum": 0})
+    g0, d0 = build_models(cfg0.model, cfg0.train.precision)
+    with pytest.raises(ValueError, match="grad_accum must be"):
+        build_train_step(cfg0, g0, d0)
     cfg = get_preset("dcgan_mnist").override({
         "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
         "data.batch_size": 16, "train.grad_accum": 3})
@@ -473,5 +479,5 @@ def test_grad_accum_rejects_bad_combos():
         "data.batch_size": 16, "train.grad_accum": 4,
         "train.fused_prop": True})
     g2, d2 = build_models(cfg2.model, cfg2.train.precision)
-    with pytest.raises(ValueError, match="fused_prop"):
+    with pytest.raises(ValueError, match="grad_accum requires fused_prop"):
         build_train_step(cfg2, g2, d2)

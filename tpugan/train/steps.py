@@ -209,7 +209,9 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
     # which normalizes per microbatch (the standard accumulation tradeoff;
     # with batchnorm off the equivalence is exact, see
     # tests/test_train_step.py::test_grad_accum_matches_full_batch).
-    accum = max(cfg.train.grad_accum, 1)
+    accum = cfg.train.grad_accum
+    if accum < 1:
+        raise ValueError(f"train.grad_accum must be >= 1, got {accum}")
     if accum > 1:
         if fused_prop:
             raise ValueError("train.grad_accum requires fused_prop off "
@@ -220,9 +222,33 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
                 f"data.batch_size {cfg.data.batch_size} not divisible by "
                 f"train.grad_accum {accum}")
 
+    _accum_data_mesh = (mesh if (mesh is not None
+                                 and "data" in mesh.axis_names
+                                 and "space" not in mesh.axis_names
+                                 and mesh.devices.size > 1) else None)
+    if accum > 1 and _accum_data_mesh is not None:
+        n_data = _accum_data_mesh.shape["data"]
+        if (cfg.data.batch_size // accum) % n_data:
+            raise ValueError(
+                f"microbatch size {cfg.data.batch_size // accum} "
+                f"(batch_size/grad_accum) not divisible by the 'data' mesh "
+                f"axis ({n_data} devices)")
+
     def _chunk(t):
-        return (None if t is None
-                else t.reshape((accum, t.shape[0] // accum) + t.shape[1:]))
+        if t is None:
+            return None
+        t = t.reshape((accum, t.shape[0] // accum) + t.shape[1:])
+        if _accum_data_mesh is not None:
+            # keep each scanned microbatch batch-sharded over 'data' —
+            # without the constraint XLA may replicate the accumulation
+            # (correct numbers, zero DP speedup; see the resident-gather
+            # constraint above)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            t = lax.with_sharding_constraint(
+                t, NamedSharding(_accum_data_mesh,
+                                 P(None, "data", *([None] * (t.ndim - 2)))))
+        return t
 
     def accum_d_grads(params_d, state_d0, params_g, state_g0, x_real,
                       y_real, z_d, y_fake_d, k_gp, gp_alpha):
