@@ -442,3 +442,36 @@ def test_http_validation_nrow_and_labels(server):
     status, _, body = _post(port, "/sample",
                             {"n": 2, "labels": ["x", "y"]})
     assert status == 400
+
+
+def test_export_from_fsdp_trained_checkpoint(tmp_path):
+    """The full scaling-user journey: train under FSDP, checkpoint, export
+    a deployable artifact from the checkpoint dir, sample from it — the
+    sharded training placement must not leak into deployment."""
+    import dataclasses
+
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.train import Trainer
+
+    cfg = get_preset("dcgan_mnist").override({
+        **TINY, "data.dataset": "synthetic", "data.batch_size": 16,
+        "data.synthetic_size": 32, "train.total_steps": 2,
+        "train.log_every": 10, "train.sample_every": 0,
+        "train.ckpt_every": 2, "train.mesh_shape": 4,
+        "train.fsdp_shards": 2})
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out")))
+    t = Trainer(cfg)
+    t.train()
+
+    # export path reads the checkpoint without any mesh context
+    from tpugan.cli import _load_generator_from_ckpt
+
+    cfg2, g, params, state_g, step = _load_generator_from_ckpt(
+        str(tmp_path / "ckpt"))
+    assert step == 2
+    blob = export_generator(cfg2, g, params, state_g, platforms=("cpu",))
+    exported = load_generator(blob)
+    imgs = exported.sample(4, seed=1)
+    assert imgs.shape[0] == 4 and np.isfinite(imgs).all()
