@@ -75,3 +75,45 @@ def test_resume_continues_identically(tmp_path):
     np.testing.assert_array_equal(np.asarray(s_full.rng),
                                   np.asarray(s_res.rng))
     mgr.close()
+
+
+def test_restore_cross_topology_fallback(tmp_path):
+    """A checkpoint whose sharding metadata names foreign devices (TPU-
+    trained, opened on a CPU host) makes orbax's metadata-driven restore
+    raise ValueError; the manager then retries with explicit
+    single-device shardings.  Wire-level test: force the first restore
+    attempt to fail the same way and assert the fallback returns the
+    saved state."""
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.configs import get_preset
+    from tpugan.models import build_models
+    from tpugan.train import create_train_state
+
+    cfg = get_preset("dcgan_mnist").override({
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "train.precision": "fp32"})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    ck = CheckpointManager(str(tmp_path / "c"))
+    ck.save(1, state)
+    ck.close()
+
+    ck2 = CheckpointManager(str(tmp_path / "c"))
+    orig = ck2.mgr.restore
+    calls = {"n": 0}
+
+    def flaky_restore(step, args=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError(
+                "sharding passed to deserialization should be specified, "
+                "concrete and an instance of `jax.sharding.Sharding`.")
+        return orig(step, args=args)
+
+    ck2.mgr.restore = flaky_restore
+    restored = ck2.restore(dict(state))
+    ck2.close()
+    assert calls["n"] == 2  # fallback path actually ran
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params_g)),
+                    jax.tree.leaves(restored["params_g"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -62,8 +62,21 @@ class CheckpointManager:
                 f"no checkpoint found under {self.directory}")
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template)
-        return self.mgr.restore(
-            int(step), args=ocp.args.StandardRestore(abstract))
+        try:
+            return self.mgr.restore(
+                int(step), args=ocp.args.StandardRestore(abstract))
+        except ValueError:
+            # Cross-topology restore (e.g. a TPU-trained checkpoint opened
+            # on a CPU host for export/serving): the sharding metadata in
+            # the file names devices that don't exist here, so orbax
+            # demands explicit concrete shardings — restore everything to
+            # the default device; callers re-place onto their mesh.
+            sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=sh), template)
+            return self.mgr.restore(
+                int(step), args=ocp.args.StandardRestore(abstract))
 
     def wait(self) -> None:
         """Block until any in-flight async save completes."""
