@@ -65,16 +65,25 @@ class CheckpointManager:
         try:
             return self.mgr.restore(
                 int(step), args=ocp.args.StandardRestore(abstract))
-        except ValueError:
+        except ValueError as e:
+            if "sharding passed to deserialization" not in str(e):
+                raise  # a real template/checkpoint mismatch, not topology
             # Cross-topology restore (e.g. a TPU-trained checkpoint opened
             # on a CPU host for export/serving): the sharding metadata in
             # the file names devices that don't exist here, so orbax
-            # demands explicit concrete shardings — restore everything to
-            # the default device; callers re-place onto their mesh.
-            sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            # demands explicit concrete shardings.  Use the TEMPLATE's own
+            # leaf shardings — the freshly-created state is already placed
+            # where the caller wants the restore (replicated/FSDP mesh in
+            # the Trainer, the local default device standalone), so this
+            # restores directly into placement without staging the whole
+            # state through one device.
+            local = jax.sharding.SingleDeviceSharding(
+                jax.local_devices()[0])
             abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                               sharding=sh), template)
+                lambda x: jax.ShapeDtypeStruct(
+                    x.shape, x.dtype,
+                    sharding=getattr(x, "sharding", None) or local),
+                template)
             return self.mgr.restore(
                 int(step), args=ocp.args.StandardRestore(abstract))
 
