@@ -1,0 +1,281 @@
+"""Import a trained reference-style torch ``state_dict`` into tpugan.
+
+The one asset a gan-playground user owns after training is a ``.pth``
+checkpoint (SURVEY §3.5: a dict of G/D state_dicts + optimizer states +
+epoch).  ``docs/MIGRATION.md`` maps every other surface; this module maps
+that one: it inverts the parity harness's jax→torch transplant maps
+(tpugan/parity/torch_twin.py — the declared reference-idiom stand-in
+architectures) so torch weights, BatchNorm running stats, and
+spectral-norm ``u`` vectors land in a tpugan ``TrainState`` that the
+Sampler/Trainer/exporter consume directly.
+
+Layout inversions (the exact inverses of torch_twin's transplant_*):
+
+    torch Conv2d   OIHW (co,ci,kh,kw)  -> tpugan HWIO via transpose(2,3,1,0)
+    torch ConvT2d  IOHW (ci,co,kh,kw)  -> tpugan HWIO via transpose(2,3,0,1)
+    torch Linear   (dout,din)          -> tpugan Dense (din,dout) via .T
+
+Optimizer state is NOT imported: torch Adam/RMSprop moments are keyed by
+parameter *order* inside opaque param groups, and the reference's training
+scripts don't standardize that order — a silent mis-alignment would be
+worse than a cold optimizer.  Importers get fresh optimizer state and a
+printed note (resume fine-tuning warms it up within a few hundred steps).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# Keys every torch module carries that have no tpugan counterpart.
+_IGNORED_SUFFIXES = ("num_batches_tracked",)
+
+
+def _a(t) -> np.ndarray:
+    """torch tensor -> float32/int numpy array."""
+    a = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+    return np.ascontiguousarray(a)
+
+
+def _strip_module_prefix(sd: Dict) -> Dict:
+    """Drop DataParallel's 'module.' wrapper if present."""
+    if sd and all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return dict(sd)
+
+
+class _SD:
+    """state_dict view that records consumed keys so leftovers (an
+    architecture mismatch) fail loudly instead of silently half-importing."""
+
+    def __init__(self, sd: Dict):
+        self.sd = _strip_module_prefix(sd)
+        self.used = set()
+
+    def take(self, key: str) -> np.ndarray:
+        if key not in self.sd:
+            raise KeyError(
+                f"torch state_dict is missing {key!r} — wrong architecture "
+                f"or wrong preset? (have e.g. {sorted(self.sd)[:6]} ...)")
+        self.used.add(key)
+        return _a(self.sd[key])
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def assert_exhausted(self, what: str) -> None:
+        left = [k for k in self.sd if k not in self.used
+                and not k.endswith(_IGNORED_SUFFIXES)]
+        if left:
+            raise ValueError(
+                f"{what}: {len(left)} torch keys had no tpugan destination "
+                f"(wrong preset / architecture?): {left[:8]}")
+
+
+def _copy_tree(tree):
+    """Deep host copy of a params/state pytree as mutable plain dicts."""
+    if isinstance(tree, dict):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    return np.array(np.asarray(tree))
+
+
+def _import_bn(sd: _SD, prefix: str, bn_params: Dict, bn_state: Dict) -> None:
+    bn_params["scale"] = sd.take(f"{prefix}.weight")
+    bn_params["bias"] = sd.take(f"{prefix}.bias")
+    bn_state["mean"] = sd.take(f"{prefix}.running_mean")
+    bn_state["var"] = sd.take(f"{prefix}.running_var")
+
+
+def import_g(sd: Dict, params: Dict, state: Dict,
+             _check_exhausted: bool = True) -> Tuple[Dict, Dict]:
+    """TorchGenerator.state_dict() -> (params_g, state_g) matching the
+    tpugan Generator templates (shape/layout-converted copies)."""
+    sd = sd if isinstance(sd, _SD) else _SD(sd)
+    params, state = _copy_tree(params), _copy_tree(state)
+    head = params["head"]
+    head["dense"]["w"] = sd.take("head.weight").T
+    if "b" in head["dense"]:
+        head["dense"]["b"] = sd.take("head.bias")
+    if "bn" in head:
+        _import_bn(sd, "head_bn", head["bn"], state["head"]["bn"])
+    i = 0
+    while f"block{i}" in params:
+        blk = params[f"block{i}"]
+        # blocks is Sequential(ConvT, BN|Identity, ReLU) triplets
+        blk["conv"]["w"] = sd.take(f"blocks.{3*i}.weight").transpose(
+            2, 3, 0, 1)
+        if "b" in blk["conv"]:
+            blk["conv"]["b"] = sd.take(f"blocks.{3*i}.bias")
+        if "bn" in blk:
+            _import_bn(sd, f"blocks.{3*i + 1}", blk["bn"],
+                       state[f"block{i}"]["bn"])
+        i += 1
+    params["final"]["conv"]["w"] = sd.take("final.weight").transpose(
+        2, 3, 0, 1)
+    params["final"]["conv"]["b"] = sd.take("final.bias")
+    if _check_exhausted:
+        sd.assert_exhausted("import_g")
+    return params, state
+
+
+def import_d(sd: Dict, params: Dict, state: Dict,
+             _check_exhausted: bool = True) -> Tuple[Dict, Dict]:
+    """TorchDiscriminator.state_dict() -> (params_d, state_d), including
+    BatchNorm running stats and spectral-norm u buffers."""
+    sd = sd if isinstance(sd, _SD) else _SD(sd)
+    params, state = _copy_tree(params), _copy_tree(state)
+    idx = 0  # torch Sequential index: conv, (bn), leaky per block
+    i = 0
+    while f"block{i}" in params:
+        blk = params[f"block{i}"]
+        blk["conv"]["w"] = sd.take(f"features.{idx}.weight").transpose(
+            2, 3, 1, 0)
+        if "b" in blk["conv"]:
+            blk["conv"]["b"] = sd.take(f"features.{idx}.bias")
+        if sd.has(f"features.{idx}.u"):  # SNConv2d buffer
+            state[f"block{i}"]["conv"]["u"] = sd.take(f"features.{idx}.u")
+        idx += 1
+        if "bn" in blk:
+            _import_bn(sd, f"features.{idx}", blk["bn"],
+                       state[f"block{i}"]["bn"])
+            idx += 1
+        idx += 1  # LeakyReLU
+        i += 1
+    params["tail"]["dense"]["w"] = sd.take("tail.weight").T
+    params["tail"]["dense"]["b"] = sd.take("tail.bias")
+    if sd.has("tail.u"):  # SNLinear buffer
+        state["tail"]["dense"]["u"] = sd.take("tail.u")
+    if _check_exhausted:
+        sd.assert_exhausted("import_d")
+    return params, state
+
+
+def import_cond_g(sd: Dict, params: Dict, state: Dict) -> Tuple[Dict, Dict]:
+    """TorchCondGenerator.state_dict() (embed + nested 'g.') -> cdcgan G."""
+    sd = _SD(sd)
+    params, state = _copy_tree(params), _copy_tree(state)
+    params["embed"]["table"] = sd.take("embed.weight")
+    sub = _SD({k[len("g."):]: v for k, v in sd.sd.items()
+               if k.startswith("g.")})
+    params["g"], state["g"] = import_g(sub, params["g"], state.get("g", {}))
+    sd.used |= {f"g.{k}" for k in sub.used}
+    sd.assert_exhausted("import_cond_g")
+    return params, state
+
+
+def import_cond_d(sd: Dict, params: Dict, state: Dict) -> Tuple[Dict, Dict]:
+    """TorchCondDiscriminator.state_dict() (embed + proj + nested 'd.')."""
+    sd = _SD(sd)
+    params, state = _copy_tree(params), _copy_tree(state)
+    params["embed"]["table"] = sd.take("embed.weight")
+    params["proj"]["w"] = sd.take("proj.weight").T
+    params["proj"]["b"] = sd.take("proj.bias")
+    sub = _SD({k[len("d."):]: v for k, v in sd.sd.items()
+               if k.startswith("d.")})
+    params["d"], state["d"] = import_d(sub, params["d"], state.get("d", {}))
+    sd.used |= {f"d.{k}" for k in sub.used}
+    sd.assert_exhausted("import_cond_d")
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Whole-checkpoint import
+# ---------------------------------------------------------------------------
+
+# Key aliases under which reference-style .pth checkpoints store the two
+# state_dicts (SURVEY §3.5's dict-of-everything contract).
+_G_KEYS = ("G", "g", "generator", "netG", "g_state", "model_g",
+           "generator_state_dict")
+_D_KEYS = ("D", "d", "discriminator", "netD", "d_state", "model_d",
+           "discriminator_state_dict")
+_STEP_KEYS = ("step", "iter", "iteration", "global_step")
+
+
+def split_reference_checkpoint(obj) -> Tuple[Optional[Dict], Optional[Dict],
+                                             int]:
+    """A loaded .pth is either a bare state_dict (G or D alone) or a dict
+    holding both under conventional keys; return (g_sd, d_sd, step)."""
+    if not isinstance(obj, dict):
+        raise ValueError(f"expected a dict checkpoint, got {type(obj)}")
+    if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    g_sd = next((obj[k] for k in _G_KEYS if isinstance(obj.get(k), dict)),
+                None)
+    d_sd = next((obj[k] for k in _D_KEYS if isinstance(obj.get(k), dict)),
+                None)
+    step = 0
+    for k in _STEP_KEYS:
+        if isinstance(obj.get(k), (int, float)):
+            step = int(obj[k])
+            break
+    if "epoch" in obj and not step and isinstance(obj["epoch"], (int, float)):
+        step = 0  # epochs don't convert to steps without the loader size
+    if g_sd is None and d_sd is None:
+        # bare state_dict: tell G from D by their distinctive keys
+        # (check D first — 'embed' appears in BOTH conditional nets, but
+        # 'proj'/'features'/'d.' only in D)
+        keys = {k.split(".")[0] for k in obj}
+        if keys & {"features", "tail", "proj", "d"}:
+            d_sd = obj
+        elif keys & {"head", "head_bn", "blocks", "final", "g"}:
+            g_sd = obj
+        else:
+            raise ValueError(
+                "could not locate G/D state_dicts in the checkpoint "
+                f"(top-level keys: {sorted(obj)[:10]})")
+    return g_sd, d_sd, step
+
+
+def _assert_shapes_match(what: str, imported, template) -> None:
+    """Same keys but different widths (e.g. weights trained at ngf=64
+    imported into an ngf=8 preset) would otherwise land silently — the
+    assignment just swaps the array.  Walk both trees and fail loudly."""
+    bad = []
+
+    def walk(path, a, b):
+        if isinstance(b, dict):
+            for k in b:
+                walk(f"{path}.{k}" if path else k, a[k], b[k])
+        else:
+            sa, sb = tuple(np.shape(a)), tuple(np.shape(np.asarray(b)))
+            if sa != sb:
+                bad.append(f"{path}: torch {sa} vs tpugan {sb}")
+
+    walk("", imported, template)
+    if bad:
+        raise ValueError(
+            f"{what}: architecture mismatch — {len(bad)} tensors disagree "
+            f"in shape (wrong preset or nz/ngf/ndf overrides?): "
+            + "; ".join(bad[:6]))
+
+
+def import_torch_state(cfg, g_sd: Optional[Dict] = None,
+                       d_sd: Optional[Dict] = None, step: int = 0):
+    """Build a tpugan TrainState for ``cfg`` with G/D weights imported from
+    torch state_dicts.  Missing nets keep their seeded init; optimizer
+    state is FRESH by design (see module docstring)."""
+    from tpugan.models import build_models
+    from tpugan.train.state import create_train_state
+
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    repl = {}
+    conditional = cfg.model.arch == "cdcgan"
+    if g_sd is not None:
+        imp = import_cond_g if conditional else import_g
+        pg, sg = imp(g_sd, state.params_g, state.state_g)
+        _assert_shapes_match("import G", pg, state.params_g)
+        _assert_shapes_match("import G state", sg, state.state_g)
+        repl.update(params_g=pg, state_g=sg)
+        if state.params_g_ema is not None:
+            repl["params_g_ema"] = _copy_tree(pg)
+    if d_sd is not None:
+        imp = import_cond_d if conditional else import_d
+        pd, sdd = imp(d_sd, state.params_d, state.state_d)
+        _assert_shapes_match("import D", pd, state.params_d)
+        _assert_shapes_match("import D state", sdd, state.state_d)
+        repl.update(params_d=pd, state_d=sdd)
+    if step:
+        repl["step"] = np.asarray(step, np.int32)
+    return state.replace(**repl)

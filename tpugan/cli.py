@@ -259,6 +259,61 @@ def cmd_convert_inception(args):
           f"eval.inception_weights={args.out!r} for exact FID")
 
 
+def cmd_import_torch(args):
+    """Reference-style torch .pth checkpoint(s) -> a tpugan checkpoint.
+
+    Completes the migration story the way convert-inception did for the
+    FID network: a gan-playground user's trained G/D state_dicts become a
+    restorable tpugan checkpoint (weights + BN stats + SN u; optimizer
+    state starts fresh — see ckpt/torch_import.py).
+    """
+    import torch
+
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.ckpt.torch_import import (
+        import_torch_state,
+        split_reference_checkpoint,
+    )
+    from tpugan.configs import get_preset
+
+    def load(path):
+        try:
+            return torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # older .pth files pickle plain python containers around the
+            # tensors; fall back for those
+            return torch.load(path, map_location="cpu", weights_only=False)
+
+    cfg = get_preset(args.preset).override(_parse_sets(args.set))
+    g_sd = d_sd = None
+    step = args.step
+    if args.ckpt:
+        g_sd, d_sd, found = split_reference_checkpoint(load(args.ckpt))
+        step = step or found
+    if args.g:
+        g_sd, _, _ = split_reference_checkpoint(load(args.g))
+        if g_sd is None:
+            raise SystemExit(f"{args.g} does not look like a generator "
+                             "state_dict")
+    if args.d:
+        _, d_sd, _ = split_reference_checkpoint(load(args.d))
+        if d_sd is None:
+            raise SystemExit(f"{args.d} does not look like a discriminator "
+                             "state_dict")
+    if g_sd is None and d_sd is None:
+        raise SystemExit("nothing to import: pass --ckpt and/or --g/--d")
+
+    state = import_torch_state(cfg, g_sd, d_sd, step=step)
+    ckpt = CheckpointManager(args.out)
+    ckpt.save(int(state.step), state, cfg.to_json())
+    ckpt.close()
+    got = [n for n, s in (("G", g_sd), ("D", d_sd)) if s is not None]
+    print(f"imported {'+'.join(got)} into {args.out} at step "
+          f"{int(state.step)} (optimizer state fresh by design; BN stats "
+          f"and SN u vectors carried over) — usable via tpugan "
+          f"sample/eval/export --ckpt, or train --resume to fine-tune")
+
+
 def cmd_bench(args):
     # Delegate to the repo-root benchmark (kept as its own script so the
     # driver can run it headless); this subcommand is the discoverable path.
@@ -341,6 +396,23 @@ def main(argv=None):
                    help="torch state_dict file (torch.save'd)")
     p.add_argument("--out", default="inception_fid.pkl")
 
+    p = sub.add_parser(
+        "import-torch",
+        help="convert a reference-style torch .pth (G/D state_dicts) into "
+             "a tpugan checkpoint (the migration path for trained models)")
+    p.add_argument("preset", help="architecture the weights belong to "
+                   "(e.g. dcgan_cifar10, cdcgan_celeba64)")
+    p.add_argument("--set", action="append", metavar="key=value",
+                   help="dotted config override (match nz/ngf/ndf if "
+                   "the run changed them)")
+    p.add_argument("--ckpt", default="",
+                   help=".pth holding both nets (keys like G/D/netG/netD)")
+    p.add_argument("--g", default="", help=".pth of the generator alone")
+    p.add_argument("--d", default="", help=".pth of the discriminator alone")
+    p.add_argument("--step", type=int, default=0,
+                   help="step number to stamp on the checkpoint")
+    p.add_argument("--out", required=True, help="tpugan checkpoint dir")
+
     # bench forwards unknown flags to bench.py; other commands reject them
     args, extra = ap.parse_known_args(argv)
     if args.cmd != "bench" and extra:
@@ -349,7 +421,8 @@ def main(argv=None):
     {"presets": cmd_presets, "train": cmd_train, "sample": cmd_sample,
      "eval": cmd_eval, "export": cmd_export, "serve": cmd_serve,
      "bench": cmd_bench, "profile": cmd_profile,
-     "convert-inception": cmd_convert_inception}[args.cmd](args)
+     "convert-inception": cmd_convert_inception,
+     "import-torch": cmd_import_torch}[args.cmd](args)
 
 
 if __name__ == "__main__":
