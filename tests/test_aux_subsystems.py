@@ -311,3 +311,39 @@ def test_keep_best_fresh_run_resets_watermark(tmp_path, monkeypatch):
     # left by orbax's skip-existing/keep-highest behavior
     t = Trainer(_tiny_cfg(tmp, 2))
     assert t.restore(os.path.join(tmp, "ckpt", "best")) == 2
+
+
+def test_keep_best_second_train_call_preserves_best(tmp_path, monkeypatch):
+    """ADVICE r3: calling train() twice on ONE Trainer is supported (the
+    in-memory watermark persists across calls) — the best-slot reset must
+    key on 'first train() of this Trainer', not 'fresh run', or the second
+    call deletes the first call's best checkpoint while keeping the
+    watermark (no best weights under a live watermark)."""
+    import json
+
+    import tpugan.eval as tpe
+
+    tmp = str(tmp_path)
+    fids = iter([1.0, 5.0])  # first call's eval best; second call worse
+
+    def fake_eval(cfg, g, params_g, state_g, *, seed=0, real_images=None):
+        return {"fid": next(fids), "kid": 0.0, "kid_std": 0.0,
+                "is_mean": 1.0, "is_std": 0.0, "n": 8, "backend": "proxy"}
+
+    monkeypatch.setattr(tpe, "evaluate", fake_eval)
+    cfg = _tiny_cfg(tmp, steps=2)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, eval_every=2, keep_best=True, ckpt_every=2))
+    t = Trainer(cfg)
+    t.train()                      # best saved at step 2, fid 1.0
+    best_dir = os.path.join(cfg.train.ckpt_dir, "best")
+    assert os.path.isdir(best_dir)
+
+    t.train(total_steps=4)         # second call on the SAME Trainer
+    meta = os.path.join(best_dir, "best_fid.json")
+    with open(meta) as f:
+        rec = json.load(f)
+    assert rec["fid"] == 1.0 and rec["step"] == 2
+    # the step-2 best checkpoint itself survived (not just the watermark)
+    t2 = Trainer(_tiny_cfg(tmp, steps=2))
+    assert t2.restore(best_dir) == 2

@@ -276,3 +276,103 @@ def test_two_process_trainer_end_to_end(tmp_path):
     # only process 0 wrote metric files
     assert (tmp_path / "out0" / "metrics.jsonl").exists()
     assert not (tmp_path / "out1" / "metrics.jsonl").exists()
+
+
+_FSDP_TRAINER_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+
+from tpugan.configs import get_preset
+from tpugan.parallel.multihost import initialize_multihost
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+workdir = sys.argv[4]
+initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+devs = jax.devices()
+assert len(devs) == nproc * 4, devs
+
+from tpugan.train import Trainer  # noqa: E402  (after distributed init)
+
+def make_cfg(total_steps, resume=""):
+    import dataclasses
+    cfg = get_preset("dcgan_cifar10").override({
+        "data.dataset": "synthetic", "data.batch_size": 16,
+        "data.synthetic_size": 64, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "train.precision": "fp32",
+        "train.total_steps": total_steps, "train.log_every": 10,
+        "train.sample_every": 0, "train.ckpt_every": 10,
+        "train.mesh_shape": 4, "train.fsdp_shards": 2,
+        "train.donate": False})
+    return dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=workdir + "/ckpt", out_dir=workdir + f"/out{pid}",
+        resume=resume))
+
+t = Trainer(make_cfg(20))  # builds its own (data=4, model=2) global mesh
+assert tuple(t.mesh.axis_names) == ("data", "model"), t.mesh
+w = t.state.params_g["block0"]["conv"]["w"]
+shard_shapes = {tuple(s.data.shape) for s in w.addressable_shards}
+assert all(s[-1] == w.shape[-1] // 2 for s in shard_shapes), shard_shapes
+m = t.train()
+assert int(t.state.step) == 20
+print(f"PHASE1_{pid} loss_d={m['loss_d']:.6f}", flush=True)
+
+# resume across processes from the shared checkpoint, back into the
+# model-sharded placement
+t2 = Trainer(make_cfg(24, resume=workdir + "/ckpt"))
+m2 = t2.train()
+assert int(t2.state.step) == 24
+w2 = t2.state.params_g["block0"]["conv"]["w"]
+assert {tuple(s.data.shape) for s in w2.addressable_shards} == shard_shapes
+print(f"PHASE2_{pid} loss_d={m2['loss_d']:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_trainer_fsdp(tmp_path):
+    """Composition matrix (VERDICT r3 #4): multihost x FSDP — the Trainer
+    builds the global (data=4, model=2) mesh across 2 OS processes, weights
+    shard over 'model' spanning hosts, losses replicate identically, and
+    the run resumes from the shared checkpoint into the sharded
+    placement."""
+    try:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+    except OSError:
+        pytest.skip("sandbox forbids sockets")
+
+    worker = tmp_path / "fsdp_trainer_worker.py"
+    worker.write_text(_FSDP_TRAINER_WORKER)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", str(port),
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("fsdp trainer workers timed out")
+    phase = {1: [], 2: []}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        for ph in (1, 2):
+            line = [ln for ln in out.splitlines()
+                    if ln.startswith(f"PHASE{ph}_{pid}")]
+            assert line, (ph, out[-2000:])
+            phase[ph].append(float(line[0].split("loss_d=")[1]))
+    assert phase[1][0] == phase[1][1], phase  # replicated losses agree
+    assert phase[2][0] == phase[2][1], phase

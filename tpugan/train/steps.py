@@ -222,10 +222,13 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
                 f"data.batch_size {cfg.data.batch_size} not divisible by "
                 f"train.grad_accum {accum}")
 
+    # Any mesh with a real 'data' axis — the plain ('data',) DP mesh, the
+    # FSDP ('data','model') mesh, AND the 2-D ('data','space') mesh — gets
+    # the microbatch sharding constraint below.  (A pure ('space',) mesh
+    # has no batch axis to constrain: the spatial ctx shards H per conv.)
     _accum_data_mesh = (mesh if (mesh is not None
                                  and "data" in mesh.axis_names
-                                 and "space" not in mesh.axis_names
-                                 and mesh.devices.size > 1) else None)
+                                 and mesh.shape.get("data", 1) > 1) else None)
     if accum > 1 and _accum_data_mesh is not None:
         n_data = _accum_data_mesh.shape["data"]
         if (cfg.data.batch_size // accum) % n_data:

@@ -99,7 +99,17 @@ class Trainer:
             raise ValueError(
                 "train.fsdp_shards and train.spatial_shards both claim "
                 "the second mesh axis; choose one")
+        if (cfg.data.device_resident and cfg.train.spatial_shards > 0
+                and jax.process_count() > 1):
+            raise ValueError(
+                "data.device_resident with train.spatial_shards is not "
+                "supported in multi-host runs: the dataset sharding is "
+                "H-sharded, so make_array_from_process_local_data would "
+                "treat each process's full dataset copy as its local shard "
+                "(wrong global shape) — use the host pipeline "
+                "(data.device_resident=false) or drop spatial_shards")
         self._restored = False  # set by restore(): gates watermark reload
+        self._best_cleared = False  # first fresh train() resets ckpt/best
         # NOTE: train.kernels affects SAMPLING/EVAL only (the Pallas kernels
         # have no autodiff rules — the differentiated train step always uses
         # the XLA conv path; see DESIGN.md §4).  train.fuse_stats is the one
@@ -372,18 +382,26 @@ class Trainer:
                 prev_best = self._load_best_watermark()
                 if prev_best is not None:
                     self._best_fid = min(self._best_fid, prev_best)
-            elif jax.process_index() == 0:
+            elif jax.process_index() == 0 and not self._best_cleared:
                 # FRESH run: the best slot belongs to this run.  Clear any
                 # stale previous-run contents — orbax silently skips saving
                 # an already-existing step and its retention keeps the
                 # HIGHEST step, so without the reset a reused ckpt_dir
                 # would keep the old run's weights under this run's
                 # freshly-written watermark (inconsistent deploy point).
+                # Only on the FIRST train() of this Trainer: later calls
+                # share the in-memory _best_fid watermark, so deleting
+                # would orphan it (no best checkpoint under a live
+                # watermark until a new all-time best).
                 best_dir = os.path.join(cfg.train.ckpt_dir, "best")
                 if os.path.isdir(best_dir):
                     import shutil
 
+                    print(f"warning: clearing stale best slot {best_dir} "
+                          f"from a previous run (fresh run owns "
+                          f"ckpt_dir/best; resume the old run to keep it)")
                     shutil.rmtree(best_dir)
+            self._best_cleared = True
         if self.spatial_mesh is not None:
             # (re-)install the spatial dispatch context for this run — it
             # is cleared in the finally below so it cannot leak into other
