@@ -47,8 +47,38 @@ def test_extractor_deterministic(rng):
     f1, p1 = ex1(x)
     f2, p2 = ex2(x)
     np.testing.assert_array_equal(f1, f2)
-    assert f1.shape == (8, 256) and p1.shape == (8, 64)
+    from tpugan.eval.features import _PROXY_CLASSES
+    assert f1.shape == (8, 256) and p1.shape == (8, _PROXY_CLASSES)
     np.testing.assert_allclose(p1.sum(1), 1.0, rtol=1e-4)
+
+
+def test_inception_score_small_n_no_nan():
+    """n < splits used to array_split into empty parts -> NaN metrics
+    (observed as RuntimeWarnings from the sharded-eval tests)."""
+    probs = np.full((3, 10), 0.1)
+    with np.errstate(all="raise"):  # empty-slice mean would raise here
+        m, s = inception_score(probs, splits=10)
+    assert np.isfinite(m) and np.isfinite(s)
+    assert abs(m - 1.0) < 1e-5  # uniform probs: IS == 1 at any n
+
+
+def test_proxy_is_ranks_diversity():
+    """The proxy head is TRAINED on seeded labeled synthetic data (an
+    untrained head's softmax ranks nothing): it must classify held-out
+    synthetic images well above chance, and proxy-IS must rank a diverse
+    real set far above a single-class (collapsed) one."""
+    from tpugan.data.datasets import make_synthetic
+    from tpugan.eval.features import _PROXY_CLASSES
+
+    ex = make_extractor(3, "proxy")
+    d = make_synthetic(64, 3, 512, seed=123, n_classes=_PROXY_CLASSES)
+    x = d["images"].astype(np.float32) / 127.5 - 1.0
+    _, probs = ex(x)
+    acc = float((probs.argmax(1) == d["labels"]).mean())
+    assert acc > 0.8, f"held-out accuracy {acc} (chance {1/_PROXY_CLASSES})"
+    is_diverse, _ = inception_score(probs)
+    is_collapsed, _ = inception_score(probs[d["labels"] == 0])
+    assert is_diverse > 3.0 * is_collapsed, (is_diverse, is_collapsed)
 
 
 def test_inception_backend_is_weight_gated():

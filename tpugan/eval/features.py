@@ -28,12 +28,23 @@ from tpugan import ops
 
 _PROXY_SEED = 20260816
 _PROXY_DIM = 256
-_PROXY_CLASSES = 64
+_PROXY_CLASSES = 16  # trained-head classes (synthetic color-phase classes)
 
 
 def _proxy_params(channels: int):
     """Fixed random conv stack: (C,32) s2 → (32,64) s2 → (64,128) s2 →
-    (128, PROXY_DIM) s2, then a (PROXY_DIM, PROXY_CLASSES) head."""
+    (128, PROXY_DIM) s2, then a TRAINED (PROXY_DIM, PROXY_CLASSES) head.
+
+    The conv features stay random (the recognized FID stand-in — relative
+    feature distances are what FID needs); the classifier head is fit once,
+    deterministically, by softmax regression on a seeded labeled synthetic
+    set (see _train_proxy_head).  An UNTRAINED head's softmax ranks nothing
+    — IS over it was a number with no meaning — whereas the trained head
+    makes proxy-IS rank class coverage/confidence at least monotonically:
+    a collapsed generator (one class) scores ~1, a diverse confident one
+    scores toward PROXY_CLASSES.  Only the 'inception' backend reproduces
+    the reference's actual IS.
+    """
     key = jax.random.PRNGKey(_PROXY_SEED)
     chans = [channels, 32, 64, 128, _PROXY_DIM]
     params = []
@@ -43,10 +54,53 @@ def _proxy_params(channels: int):
         w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
         w = w / jnp.sqrt(9 * cin)
         params.append(w)
-    key, k = jax.random.split(key)
-    head = jax.random.normal(k, (_PROXY_DIM, _PROXY_CLASSES), jnp.float32)
-    head = head / jnp.sqrt(_PROXY_DIM)
+    head = _train_proxy_head(params, channels)
     return params, head
+
+
+def _proxy_features(convs, x):
+    h = x
+    for w in convs:
+        h = ops.conv2d(h, w, stride=2, padding=1)
+        h = jax.nn.leaky_relu(h, 0.2)
+    return jnp.mean(h, axis=(1, 2))  # global average pool -> (N, D)
+
+
+def _train_proxy_head(convs, channels: int, n: int = 2048,
+                      image_size: int = 64, steps: int = 300):
+    """Softmax regression of the synthetic class labels on the frozen
+    random conv features — fully seeded, offline, a few seconds once per
+    process (the extractor is cached).  Full-batch GD with momentum; the
+    bias folds into the weight via a constant feature."""
+    from tpugan.data.datasets import make_synthetic
+
+    data = make_synthetic(image_size, channels, n, seed=_PROXY_SEED,
+                          n_classes=_PROXY_CLASSES)
+    x = jnp.asarray(data["images"], jnp.float32) / 127.5 - 1.0
+    y = jnp.asarray(data["labels"])
+    feats = jax.jit(_proxy_features)(convs, x)
+    # standardize so one LR suits all channel configs
+    mu, sd = feats.mean(0), feats.std(0) + 1e-6
+    fz = (feats - mu) / sd
+
+    def loss(w):
+        logits = fz @ w
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], 1))
+
+    grad = jax.jit(jax.grad(loss))
+    w = jnp.zeros((_PROXY_DIM, _PROXY_CLASSES), jnp.float32)
+    v = jnp.zeros_like(w)
+    for _ in range(steps):
+        g = grad(w)
+        v = 0.9 * v - 0.5 * g
+        w = w + v
+    # fold the standardization into the head so inference is one matmul
+    # on RAW pooled features: logits = ((f - mu)/sd) @ w = f @ (w/sd) - mu…
+    # the constant shift is absorbed per-class.
+    w_raw = w / sd[:, None]
+    b = -(mu / sd) @ w
+    return np.asarray(w_raw), np.asarray(b)
 
 
 from tpugan.utils.cache import BoundedCache  # noqa: E402
@@ -101,16 +155,12 @@ def _make_extractor(channels: int, backend: str, weights_path: str):
     if backend != "proxy":
         raise ValueError(f"unknown eval feature backend {backend!r}")
 
-    convs, head = _proxy_params(channels)
+    convs, (head_w, head_b) = _proxy_params(channels)
 
     @jax.jit
     def extract(x):
-        h = x
-        for w in convs:
-            h = ops.conv2d(h, w, stride=2, padding=1)
-            h = jax.nn.leaky_relu(h, 0.2)
-        feat = jnp.mean(h, axis=(1, 2))  # global average pool -> (N, D)
-        logits = feat @ head
+        feat = _proxy_features(convs, x)
+        logits = feat @ head_w + head_b
         return feat, jax.nn.softmax(logits, axis=-1)
 
     def run(images: np.ndarray, batch: int = 256):

@@ -65,6 +65,9 @@ def inception_score(probs: np.ndarray, splits: int = 10
                     ) -> tuple[float, float]:
     """probs: (N, n_classes) softmax outputs of the scoring classifier."""
     n = len(probs)
+    # With n < splits, array_split yields empty parts whose mean is NaN —
+    # which would propagate into logged metrics; clamp to one-per-sample.
+    splits = max(1, min(splits, n))
     scores = []
     for part in np.array_split(probs, splits):
         py = part.mean(0, keepdims=True)
