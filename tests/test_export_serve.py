@@ -475,3 +475,42 @@ def test_export_from_fsdp_trained_checkpoint(tmp_path):
     exported = load_generator(blob)
     imgs = exported.sample(4, seed=1)
     assert imgs.shape[0] == 4 and np.isfinite(imgs).all()
+
+
+def test_engine_shed_drops_timed_out_request(unconditional):
+    """ADVICE r3: a caller that times out sheds its queued work via
+    engine.shed() (the HTTP 504 path): every chunk future fails, and the
+    worker never runs the abandoned device work — client retries shed load
+    instead of adding it."""
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=2, linger_ms=1.0,
+                            queue_depth=64)
+    orig = engine.gen.generate
+    release = threading.Event()
+    calls = []
+
+    def slow_generate(z, y=None):
+        calls.append(z.shape[0])
+        release.wait(timeout=30)
+        return orig(z, y)
+
+    engine.gen.generate = slow_generate
+    try:
+        blocker = engine.sample(1, seed=0)  # occupies the worker
+        time.sleep(0.3)
+        # oversized request -> 2 chunks of max_batch, both still queued
+        abandoned = engine.sample(4, seed=1)
+        engine.shed(abandoned)  # what the HTTP handler does on timeout
+        with pytest.raises(TimeoutError):
+            abandoned.result(timeout=5)
+        release.set()
+        assert blocker.result(timeout=60).shape[0] == 1
+        after = engine.sample(1, seed=2)
+        assert after.result(timeout=60).shape[0] == 1
+        # the worker ran the blocker and the follow-up, never the shed
+        # request's chunks
+        assert sum(calls) == 2, calls
+    finally:
+        release.set()
+        engine.gen.generate = orig
+        engine.close()

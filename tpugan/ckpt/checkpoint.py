@@ -38,10 +38,17 @@ class CheckpointManager:
         step = int(step)
         # torch.save overwrite semantics: orbax refuses to write a step
         # number that already exists (raises StepAlreadyExistsError with
-        # force=True, silently skips without) — which would leave STALE
-        # weights in a reused directory.  Delete-then-save instead.
+        # force=True, silently skips without — verified on orbax 0.11.32,
+        # where force means "ignore save_interval", not "overwrite") —
+        # which would leave STALE weights in a reused directory.
+        # Delete-then-save instead; the delete→save window is not atomic,
+        # so a crash inside it loses this step (resume falls back to the
+        # previous retained step — max_to_keep>1 keeps that fallback real).
+        # Wait for in-flight async saves FIRST: a still-serializing save of
+        # this same step is not yet listed by all_steps(), and racing it
+        # would hit StepAlreadyExistsError below.
+        self.mgr.wait_until_finished()
         if step in (self.mgr.all_steps() or []):
-            self.mgr.wait_until_finished()
             self.mgr.delete(step)
         self.mgr.save(step, args=ocp.args.StandardSave(state))
         if config_json:
@@ -65,9 +72,7 @@ class CheckpointManager:
         try:
             return self.mgr.restore(
                 int(step), args=ocp.args.StandardRestore(abstract))
-        except ValueError as e:
-            if "sharding passed to deserialization" not in str(e):
-                raise  # a real template/checkpoint mismatch, not topology
+        except ValueError as first_err:
             # Cross-topology restore (e.g. a TPU-trained checkpoint opened
             # on a CPU host for export/serving): the sharding metadata in
             # the file names devices that don't exist here, so orbax
@@ -77,6 +82,11 @@ class CheckpointManager:
             # the Trainer, the local default device standalone), so this
             # restores directly into placement without staging the whole
             # state through one device.
+            # Don't key on orbax's exact message ("sharding passed to
+            # deserialization" on 0.11.x — wording drifts across versions):
+            # attempt the fallback for ANY restore ValueError and re-raise
+            # the ORIGINAL error if the fallback fails too (a genuine
+            # template/checkpoint mismatch fails both ways).
             local = jax.sharding.SingleDeviceSharding(
                 jax.local_devices()[0])
             abstract = jax.tree.map(
@@ -84,8 +94,11 @@ class CheckpointManager:
                     x.shape, x.dtype,
                     sharding=getattr(x, "sharding", None) or local),
                 template)
-            return self.mgr.restore(
-                int(step), args=ocp.args.StandardRestore(abstract))
+            try:
+                return self.mgr.restore(
+                    int(step), args=ocp.args.StandardRestore(abstract))
+            except Exception:
+                raise first_err
 
     def wait(self) -> None:
         """Block until any in-flight async save completes."""

@@ -141,6 +141,7 @@ class BatchingEngine:
 
         for f in futs:
             f.add_done_callback(_maybe_finish)
+        outer._tpugan_chunks = futs  # lets shed() cancel the queued work
         return outer
 
     def _enqueue(self, z: np.ndarray, y: Optional[np.ndarray]
@@ -172,6 +173,20 @@ class BatchingEngine:
             y = (np.asarray(labels, np.int32) if labels is not None else
                  np.asarray(seeded_labels(self.gen.n_classes, n, seed)))
         return self.submit(z, y)
+
+    def shed(self, fut: "Future", exc: Optional[Exception] = None) -> None:
+        """Drop a timed-out/abandoned request: fail its future (and, for a
+        chunked oversized request, every chunk future) so the worker skips
+        the still-queued device work — _collect() discards done items.
+        Without this, a client timeout leaves the work queued and retries
+        ADD load instead of shedding it (unlike the 503 path)."""
+        exc = exc or TimeoutError("request abandoned by caller")
+        for f in getattr(fut, "_tpugan_chunks", [fut]):
+            try:
+                if not f.done():
+                    f.set_exception(exc)
+            except Exception:
+                pass  # worker completed it in the race window — fine
 
     def latency_summary(self) -> dict:
         with self._lat_lock:
@@ -383,12 +398,21 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
             return
+        fut = None
         try:
-            imgs = self.engine.sample(n, seed, labels).result(
-                timeout=self.engine.request_timeout_s)
+            fut = self.engine.sample(n, seed, labels)
+            imgs = fut.result(timeout=self.engine.request_timeout_s)
         except EngineOverloadedError as e:
             self._reply_json(503, {"error": str(e)},
                              extra_headers={"Retry-After": "1"})
+            return
+        except TimeoutError:
+            # Shed, don't abandon: fail the queued future(s) so the worker
+            # drops the device work — otherwise a retrying client's
+            # timeouts pile load on instead of shedding it.
+            self.engine.shed(fut)
+            self._reply_json(504, {"error": "request timed out after "
+                                   f"{self.engine.request_timeout_s}s"})
             return
         except Exception as e:
             self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
