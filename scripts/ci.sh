@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
-# Full test gate, both tiers (VERDICT r2 #10: the slow tier must actually
-# run somewhere).  Usage: scripts/ci.sh [default|slow|all]
+# Full test gate (VERDICT r2 #10: the slow tier must actually run
+# somewhere; VERDICT r3 #6: the examples must not rot).
+# Usage: scripts/ci.sh [default|slow|examples|all]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 tier="${1:-all}"
@@ -13,4 +14,30 @@ if [[ "$tier" == "slow" || "$tier" == "all" ]]; then
     echo "=== slow tier (long convergence runs, full-Inception CPU compiles,"
     echo "    signal-delivery subprocess variants) ==="
     python -m pytest tests/ -q -m slow
+fi
+if [[ "$tier" == "examples" || "$tier" == "all" ]]; then
+    echo "=== examples tier (smoke-run all six examples/, tiny overrides) ==="
+    TMP="$(mktemp -d)"
+    trap 'rm -rf "$TMP"' EXIT
+    export XLA_FLAGS=--xla_force_host_platform_device_count=8
+    timeout 600 python examples/train_dcgan_mnist.py \
+        --steps 4 --out "$TMP/mnist"
+    test -f "$TMP/mnist/final_grid.png"
+    timeout 600 python examples/train_wgan_gp_cifar10.py \
+        --steps 6 --out "$TMP/wgan"
+    timeout 600 python examples/data_parallel_training.py --steps 4
+    timeout 600 python examples/train_256px_spatial.py \
+        --steps 2 --width 8 --batch 8
+    port=$(python -c 'import socket; s=socket.socket(); \
+s.bind(("127.0.0.1",0)); print(s.getsockname()[1]); s.close()')
+    XLA_FLAGS=--xla_force_host_platform_device_count=4 timeout 600 \
+        python examples/train_multihost.py --num-processes 2 --process-id 0 \
+        --coordinator "127.0.0.1:$port" --steps 4 --out "$TMP/mh" &
+    mh0=$!
+    XLA_FLAGS=--xla_force_host_platform_device_count=4 timeout 600 \
+        python examples/train_multihost.py --num-processes 2 --process-id 1 \
+        --coordinator "127.0.0.1:$port" --steps 4 --out "$TMP/mh"
+    wait "$mh0"
+    timeout 600 python examples/serve_and_query.py --ckpt "$TMP/mnist/ckpt"
+    echo "examples tier OK"
 fi
