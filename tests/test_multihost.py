@@ -360,7 +360,9 @@ def test_two_process_trainer_fsdp(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            # two workers time-slicing one core, each compiling two Trainer
+            # programs over a 4-device mesh: generous on a 1-CPU box
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
