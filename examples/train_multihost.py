@@ -17,8 +17,9 @@ Try it on one machine with two emulated hosts (4 fake CPU devices each):
       python examples/train_multihost.py --num-processes 2 --process-id 1 \
         --coordinator 127.0.0.1:9876 --out /tmp/mh
 
-On a real TPU pod slice, drop the env vars and the explicit flags —
-`initialize_multihost()` autodetects the topology from TPU metadata.
+On a real TPU pod slice, drop the env vars and the explicit flags and pass
+--autodetect — `initialize_multihost(autodetect=True)` reads the topology
+from the TPU metadata service (a bare `jax.distributed.initialize()`).
 """
 
 import os as _os
@@ -37,6 +38,9 @@ def main():
                          "autodetected)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--autodetect", action="store_true",
+                    help="TPU pod: bootstrap from the metadata service "
+                         "instead of explicit coordinator flags")
     ap.add_argument("--preset", default="dcgan_cifar10")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--out", default="runs/multihost")
@@ -45,7 +49,7 @@ def main():
     from tpugan.parallel.multihost import initialize_multihost
 
     idx = initialize_multihost(args.coordinator, args.num_processes,
-                               args.process_id)
+                               args.process_id, autodetect=args.autodetect)
 
     import jax
 

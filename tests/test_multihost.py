@@ -378,3 +378,38 @@ def test_two_process_trainer_fsdp(tmp_path):
             phase[ph].append(float(line[0].split("loss_d=")[1]))
     assert phase[1][0] == phase[1][1], phase  # replicated losses agree
     assert phase[2][0] == phase[2][1], phase
+
+
+def test_initialize_multihost_unit_paths(monkeypatch):
+    """Every bootstrap branch of initialize_multihost, executed in-process:
+    single-process no-op, explicit coordinator args (forwarded verbatim),
+    and the TPU-pod autodetect path (a BARE jax.distributed.initialize() —
+    topology from the metadata service, no args).  The real 2-process tests
+    above cover the explicit path end-to-end; this pins the no-op and
+    autodetect branches that a 1-chip box can never reach for real."""
+    import jax
+
+    from tpugan.parallel.multihost import initialize_multihost
+
+    calls = []
+
+    def fake_initialize(coordinator_address=None, num_processes=None,
+                        process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+
+    # single-process no-op: returns 0 WITHOUT touching jax.distributed
+    assert initialize_multihost() == 0
+    assert initialize_multihost(num_processes=1) == 0
+    assert calls == []
+
+    # explicit coordinator: args forwarded verbatim, index from the runtime
+    assert initialize_multihost("10.0.0.1:9999", 4, 3) == 3
+    assert calls == [("10.0.0.1:9999", 4, 3)]
+
+    # TPU-pod autodetect: a bare initialize() — no args, metadata service
+    calls.clear()
+    assert initialize_multihost(autodetect=True) == 3
+    assert calls == [(None, None, None)]

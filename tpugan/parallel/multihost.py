@@ -21,14 +21,20 @@ import jax
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> int:
+                         process_id: Optional[int] = None,
+                         autodetect: bool = False) -> int:
     """Initialize cross-host JAX; returns this process's index.
 
     With no arguments on a single process this is a no-op returning 0
     (keeps one code path for scripts that may run either way).  On TPU pods
-    with no explicit args, ``jax.distributed.initialize()`` autodetects the
-    topology from the TPU metadata service.
+    pass ``autodetect=True`` (or set any explicit arg): a bare
+    ``jax.distributed.initialize()`` reads the topology from the TPU
+    metadata service / cluster env, which is the canonical pod bootstrap.
     """
+    if autodetect and coordinator_address is None and num_processes is None:
+        # TPU-pod path: topology comes from the metadata service, not args.
+        jax.distributed.initialize()
+        return jax.process_index()
     if coordinator_address is None and num_processes in (None, 1):
         return 0
     jax.distributed.initialize(
