@@ -15,6 +15,11 @@ to convergence and banks the evidence:
   sustained img/s) and a sample grid from the banked best weights.
 
 Usage: python benchmarks/train_flagship128.py [--steps 20000] [--out runs/...]
+
+`--preset` generalizes the same long-run protocol (device-resident
+synthetic set, keep_best + periodic eval, best-slot grid + one JSON
+results line) to any preset — used for the round-4 lsgan convergence
+demonstration (BENCH_SWEEP's weakest 600-step row).
 """
 
 from __future__ import annotations
@@ -36,29 +41,41 @@ def log(*a):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="cdcgan_celeba128")
     ap.add_argument("--steps", type=int, default=20_000)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dataset-size", type=int, default=16_384)
-    ap.add_argument("--out", default="runs/cdcgan128_flagship")
-    ap.add_argument("--grid", default="docs/samples_cdcgan128_best_of_20k.png")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--grid", default=None)
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--steps-per-call", type=int, default=25)
     ap.add_argument("--fid-n", type=int, default=1024)
+    ap.add_argument("--no-fused-prop", action="store_true",
+                    help="presets with n_critic>1 or a gradient penalty "
+                         "reject fused_prop; turn it off for those")
     args = ap.parse_args()
+    if args.preset == "cdcgan_celeba128":  # the documented flagship names
+        args.out = args.out or "runs/cdcgan128_flagship"
+        args.grid = args.grid or "docs/samples_cdcgan128_best_of_20k.png"
+    if args.out is None:
+        args.out = f"runs/{args.preset}_flagship"
+    if args.grid is None:
+        args.grid = (f"docs/samples_{args.preset}_best_of_"
+                     f"{args.steps // 1000}k.png")
 
     from tpugan.configs import get_preset
     from tpugan.eval import evaluate
     from tpugan.train import Trainer
     from tpugan.utils import make_grid, save_png, to_uint8
 
-    cfg = get_preset("cdcgan_celeba128").override({
+    cfg = get_preset(args.preset).override({
         "data.dataset": "synthetic",
         "data.synthetic_size": args.dataset_size,
         "data.batch_size": args.batch,
         "data.device_resident": True,
         "train.total_steps": args.steps,
         "train.steps_per_call": args.steps_per_call,
-        "train.fused_prop": True,
+        "train.fused_prop": not args.no_fused_prop,
         "train.keep_best": True,
         "train.eval_every": args.eval_every,
         "train.sample_every": max(args.eval_every, 2500),
@@ -97,8 +114,8 @@ def main() -> None:
     log(f"best grid (step {best_step}) -> {args.grid}")
 
     print(json.dumps({
-        "config": "cdcgan_celeba128 (synthetic stand-in, device_resident, "
-                  "fused_prop)",
+        "config": (f"{args.preset} (synthetic stand-in, device_resident"
+                   + ("" if args.no_fused_prop else ", fused_prop") + ")"),
         "steps": args.steps,
         "batch": args.batch,
         "dataset_size": args.dataset_size,
