@@ -163,6 +163,13 @@ def bench_tpugan(image_size: int, batch: int, steps: int,
     per_iter = float(np.polyfit(np.array(ks, np.float64),
                                 np.array(times), 1)[0])
     if per_iter <= 0:
+        # The slope signal (per-iter cost x k spread) drowned in relay
+        # noise — the short chains --quick uses can't resolve chip-speed
+        # iterations.  Escalate the chain length until the fit resolves
+        # instead of failing the axis.
+        if steps < 320:
+            return bench_tpugan(image_size, batch, steps * 4, impl=impl,
+                                warmup=1)
         raise RuntimeError(f"non-monotonic timing: {dict(zip(ks, times))}")
     return batch / per_iter
 
@@ -184,12 +191,18 @@ def bench_one_size(image_size: int, args) -> dict:
     # benchmarks/ scripts instead.
     for impl, bs in (("xla", batches),):
         for batch in bs:
-            try:
-                ips = bench_tpugan(image_size, batch, args.steps,
-                                   impl=impl)
-            except Exception as e:  # OOM/unsupported: keep best so far
-                log(f"tpugan {impl} batch {batch}: failed "
-                    f"({type(e).__name__}: {e})")
+            # Relay timing flukes can make one LSQ fit non-monotonic
+            # (observed in --quick where the k spread is small); retry so a
+            # single fluke can never zero a judged axis.
+            for attempt in range(3):
+                try:
+                    ips = bench_tpugan(image_size, batch, args.steps,
+                                       impl=impl)
+                    break
+                except Exception as e:  # OOM/unsupported: keep best so far
+                    log(f"tpugan {impl} batch {batch} attempt {attempt}: "
+                        f"failed ({type(e).__name__}: {e})")
+            else:
                 continue
             log(f"tpugan {impl} @{image_size} batch {batch}: "
                 f"{ips:.1f} images/s")
