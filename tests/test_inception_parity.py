@@ -184,6 +184,8 @@ def test_full_net_transplant_resized(size):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # full-Inception CPU compile (~70s) — the slow tier's
+# charter; the per-block/full-net transplant parity stays default
 def test_cli_convert_inception_roundtrip(tmp_path):
     """tpugan convert-inception: torch .pth -> pickle -> extractor scores
     match the torch twin (the full offline exact-FID workflow)."""

@@ -227,6 +227,8 @@ print(f"PHASE2_{pid} loss_d={m2['loss_d']:.6f}", flush=True)
 """
 
 
+@pytest.mark.slow  # 95s on the 1-core box; the 2-proc psum + train-step
+# tests stay in the default tier, so cross-process coverage is retained
 def test_two_process_trainer_end_to_end(tmp_path):
     """VERDICT r2 #3: Trainer(cfg).train() itself runs multi-host — the
     input pipeline feeds per-process local shards stitched into global

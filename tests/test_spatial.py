@@ -302,6 +302,8 @@ def test_trainer_dp_x_spatial_wiring(tmp_path):
         set_spatial_mesh(None)
 
 
+@pytest.mark.slow  # 68s: two jitted 2-D-mesh Trainer compiles; the
+# dp-x-spatial step/wiring equivalence tests stay default
 def test_dp_x_spatial_checkpoint_resume(tmp_path):
     """Checkpoint/resume through the 2-D DP x spatial Trainer: restore
     reshards onto the ('data','space') mesh and training continues."""
