@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--no-fused-prop", action="store_true",
                     help="presets with n_critic>1 or a gradient penalty "
                          "reject fused_prop; turn it off for those")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="KEY=VALUE",
+                    help="extra dotted config overrides (the cli.py "
+                         "convention), e.g. --set train.spatial_shards=1")
     args = ap.parse_args()
     if args.preset == "cdcgan_celeba128":  # the documented flagship names
         args.out = args.out or "runs/cdcgan128_flagship"
@@ -67,6 +71,8 @@ def main() -> None:
     from tpugan.eval import evaluate
     from tpugan.train import Trainer
     from tpugan.utils import make_grid, save_png, to_uint8
+
+    from tpugan.cli import _parse_sets
 
     cfg = get_preset(args.preset).override({
         "data.dataset": "synthetic",
@@ -86,6 +92,7 @@ def main() -> None:
         "train.out_dir": args.out + "/out",
         "eval.fid_n": args.fid_n,
         "eval.fid_batch": 256,
+        **_parse_sets(args.overrides),  # explicit --set wins over defaults
     })
 
     t_setup = time.perf_counter()
