@@ -169,6 +169,20 @@ class TrainConfig:
     # gradients, apply ONE optimizer update.  Exact full-batch gradients
     # except BatchNorm normalizes per microbatch.  batch_size must divide.
     grad_accum: int = 1
+    # Differentiable augmentation of EVERY image D sees — real and fake, in
+    # both the D and G updates, gradients flowing through to G (DiffAugment,
+    # arXiv:2006.10738).  The standard anti-memorization lever for small
+    # datasets, absent from the reference.  Comma-joined ops from
+    # ops/augment.py: "color,translation,cutout".  "" = off.
+    augment: str = ""
+    # Nonzero enables ADA (arXiv:2006.06676): each augment op executes
+    # per-sample with probability p, and p is adapted on-device to hold the
+    # discriminator overfitting heuristic r_t = E[sign(D(real))] at this
+    # target (the paper's default is 0.6; r_t ranges [-1,1], so a negative
+    # target forces p to ramp to 1).  0 = fixed p=1 (plain DiffAugment).
+    ada_target: float = 0.0
+    # ADA adaptation speed: p can traverse [0,1] in ada_kimg thousand images.
+    ada_kimg: float = 500.0
     resume: str = ""  # checkpoint path/dir to resume from
 
 

@@ -13,6 +13,7 @@ Models never call ``lax.conv*`` directly — they go through this module, so
 the kernel backend is switchable per run (``train.kernels`` config).
 """
 
+from tpugan.ops.augment import apply_policy, parse_policy  # noqa: F401
 from tpugan.ops.convs import conv2d, conv_transpose2d, set_default_impl  # noqa: F401
 from tpugan.ops.fused import bn_act, bias_act  # noqa: F401
 from tpugan.ops.pallas_conv_stats import (  # noqa: F401

@@ -71,6 +71,10 @@ def shard_train_state_fsdp(state, mesh: Mesh):
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
         params_g_ema=(shard_params_fsdp(state.params_g_ema, mesh)
                       if state.params_g_ema is not None else None),
+        ada_p=(jax.device_put(state.ada_p, NamedSharding(mesh, P()))
+               if state.ada_p is not None else None),
+        ada_rt=(jax.device_put(state.ada_rt, NamedSharding(mesh, P()))
+                if state.ada_rt is not None else None),
     )
 
 

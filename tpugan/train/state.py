@@ -38,6 +38,13 @@ class TrainState:
     # EMA of G params (None when train.ema == 0). Sampling/eval prefer these
     # when present — the standard GAN inference-quality trick.
     params_g_ema: Any = None
+    # ADA state (None unless train.ada_target > 0): the adapted per-op
+    # execution probability p and the running estimate of the overfitting
+    # heuristic r_t = E[sign(D(real))].  Living in the donated state, the
+    # adaptation loop runs entirely on-device and checkpoints/resumes with
+    # everything else.
+    ada_p: Any = None
+    ada_rt: Any = None
 
 
 def make_optimizers(cfg: Config):
@@ -104,4 +111,8 @@ def create_train_state(cfg: Config, g: Module, d: Module,
         step=jnp.zeros((), jnp.int32),
         params_g_ema=(jax.tree.map(jnp.copy, params_g)
                       if cfg.train.ema > 0 else None),
+        ada_p=(jnp.zeros((), jnp.float32)
+               if cfg.train.ada_target != 0 else None),
+        ada_rt=(jnp.zeros((), jnp.float32)
+                if cfg.train.ada_target != 0 else None),
     )

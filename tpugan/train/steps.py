@@ -38,6 +38,7 @@ from tpugan.losses import (
     gradient_penalty,
 )
 from tpugan.nn.core import Module
+from tpugan.ops.augment import apply_policy, parse_policy
 from tpugan.train.state import TrainState, make_optimizers
 
 
@@ -83,6 +84,21 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
     n_classes = cfg.model.n_classes
     tx_g, tx_d = make_optimizers(cfg)
 
+    # Differentiable augmentation (ops/augment.py): every image D sees —
+    # real and fake, both updates — goes through the policy, with gradients
+    # flowing through to G.  Under WGAN-GP the interpolates are built from
+    # the AUGMENTED pair: D is only ever evaluated on augmented images, so
+    # the Lipschitz constraint lives on that same distribution.
+    policy = parse_policy(cfg.train.augment) if cfg.train.augment else ()
+    ada_on = cfg.train.ada_target != 0
+    if ada_on and not policy:
+        raise ValueError(
+            "nonzero train.ada_target requires train.augment to name at "
+            "least one op (e.g. 'color,translation,cutout')")
+
+    def _aug(x, k, p):
+        return apply_policy(x, k, policy, 1.0 if p is None else p)
+
     # Optional rematerialization: recompute forward activations during the
     # backward pass instead of keeping them in HBM — the standard lever for
     # fitting larger batches/models (e.g. 128px) on one chip.
@@ -106,9 +122,15 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
 
     # ---- D loss -----------------------------------------------------------
     def d_loss(params_d, state_d, params_g, state_g, x_real, y_real, z,
-               y_fake, k_gp, gp_alpha=None):
+               y_fake, k_gp, gp_alpha=None, k_aug=None, ada_p=None):
         fake, state_g = g_forward(params_g, state_g, z, y_fake)
         fake = lax.stop_gradient(fake)  # reference: fake.detach() in D step
+        if policy:
+            # Fresh draws for real and fake (DiffAugment semantics: each
+            # call of the augmentation pipeline re-randomizes).
+            ka_r, ka_f = jax.random.split(k_aug)
+            x_real = _aug(x_real, ka_r, ada_p)
+            fake = _aug(fake, ka_f, ada_p)
         real_logits, state_d = d_forward(params_d, state_d, x_real, y_real)
         fake_logits, state_d = d_forward(params_d, state_d, fake, y_fake)
         loss = d_loss_fn(kind, real_logits, fake_logits,
@@ -132,11 +154,21 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             "d_fake": jnp.mean(fake_logits.astype(jnp.float32)),
             "gp": gp,
         }
+        if ada_on:
+            # ADA's overfitting heuristic: r_t = E[sign(D(real))] drifts
+            # toward +1 as D memorizes the reals.
+            metrics["rt_batch"] = jnp.mean(
+                jnp.sign(real_logits.astype(jnp.float32)))
         return loss, (state_d, state_g, metrics)
 
     # ---- G loss -----------------------------------------------------------
-    def g_loss(params_g, state_g, params_d, state_d, z, y_fake):
+    def g_loss(params_g, state_g, params_d, state_d, z, y_fake,
+               k_aug=None, ada_p=None):
         fake, state_g = g_forward(params_g, state_g, z, y_fake)
+        if policy:
+            # Differentiable: G's gradient flows through the augmentation,
+            # so G never learns to produce augmented images.
+            fake = _aug(fake, k_aug, ada_p)
         fake_logits, state_d = d_forward(params_d, state_d, fake, y_fake)
         # G's target stays 1.0 even under one-sided label smoothing —
         # smoothing only D's real target; a smoothed G target would reverse
@@ -160,7 +192,13 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             "train.fused_prop requires n_critic == 1 and no gradient "
             "penalty (loss.kind != 'wgan_gp')")
 
-    def fused_updates(state, x_real, y_real, z, y_fake):
+    def fused_updates(state, x_real, y_real, z, y_fake, k_aug=None):
+        if policy:
+            # The fused path shares ONE fake forward between the D and G
+            # pulls, so (unlike the alternating path) both see the SAME
+            # augmentation draw on the fake — inherent to the scheme.
+            ka_r, ka_f = jax.random.split(k_aug)
+            x_real = _aug(x_real, ka_r, state.ada_p)
         fake, vjp_g, state_g = jax.vjp(
             lambda pg: g_forward(pg, state.state_g, z, y_fake),
             state.params_g, has_aux=True)
@@ -174,6 +212,11 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             d_real_part, has_aux=True)(state.params_d)
 
         def d_fake_logits(pd, f):
+            if policy:
+                # Inside the shared linearization: both the D-parameter pull
+                # and the input pull that chains into G's VJP flow through
+                # the augmentation.
+                f = _aug(f, ka_f, state.ada_p)
             logits, sd2 = d_forward(pd, sd, f, y_fake)
             return logits, sd2
         fake_logits, vjp_d, state_d = jax.vjp(
@@ -195,6 +238,9 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             "d_fake": jnp.mean(fake_logits.astype(jnp.float32)),
             "gp": jnp.zeros((), jnp.float32),
         }
+        if ada_on:
+            metrics["rt_batch"] = jnp.mean(
+                jnp.sign(real_logits.astype(jnp.float32)))
         return (grads_d, grads_g, state_d, state_g, metrics,
                 g_loss_fn(kind, fake_logits))
 
@@ -254,7 +300,8 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
         return t
 
     def accum_d_grads(params_d, state_d0, params_g, state_g0, x_real,
-                      y_real, z_d, y_fake_d, k_gp, gp_alpha):
+                      y_real, z_d, y_fake_d, k_gp, gp_alpha, k_aug=None,
+                      ada_p=None):
         mbs = {"x": _chunk(x_real), "z": _chunk(z_d),
                "kg": jax.random.split(k_gp, accum)}
         if y_real is not None:
@@ -263,12 +310,15 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             mbs["yf"] = _chunk(y_fake_d)
         if gp_alpha is not None:
             mbs["ga"] = _chunk(gp_alpha)
+        if policy:
+            mbs["ka"] = jax.random.split(k_aug, accum)
 
         def body(carry, mb):
             acc, sd, sg = carry
             g, (sd, sg, m) = d_grad(
                 params_d, sd, params_g, sg, mb["x"], mb.get("yr"),
-                mb["z"], mb.get("yf"), mb["kg"], mb.get("ga"))
+                mb["z"], mb.get("yf"), mb["kg"], mb.get("ga"),
+                mb.get("ka"), ada_p)
             return (jax.tree.map(jnp.add, acc, g), sd, sg), m
 
         zero = jax.tree.map(jnp.zeros_like, params_d)
@@ -277,16 +327,19 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
         return grads, (sd, sg, {k: jnp.mean(v) for k, v in ms.items()})
 
     def accum_g_update(params_g, state_g0, params_d, state_d0, z_g,
-                      y_fake_g):
+                      y_fake_g, k_aug=None, ada_p=None):
         mbs = {"z": _chunk(z_g)}
         if y_fake_g is not None:
             mbs["yf"] = _chunk(y_fake_g)
+        if policy:
+            mbs["ka"] = jax.random.split(k_aug, accum)
 
         def body(carry, mb):
             acc, lsum, sg, sd = carry
             (lg, (sg, sd)), gg = jax.value_and_grad(
                 g_loss, argnums=0, has_aux=True)(
-                    params_g, sg, params_d, sd, mb["z"], mb.get("yf"))
+                    params_g, sg, params_d, sd, mb["z"], mb.get("yf"),
+                    mb.get("ka"), ada_p)
             return (jax.tree.map(jnp.add, acc, gg), lsum + lg, sg, sd), None
 
         zero = jax.tree.map(jnp.zeros_like, params_g)
@@ -309,8 +362,15 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        rng, k_zd, k_zg, k_gp, k_yd, k_yg, k_flip, k_data = jax.random.split(
-            state.rng, 8)
+        if policy:
+            (rng, k_zd, k_zg, k_gp, k_yd, k_yg, k_flip, k_data, k_aug_d,
+             k_aug_g) = jax.random.split(state.rng, 10)
+        else:
+            # Split count unchanged from the augment-free step so existing
+            # runs/checkpoints replay the identical RNG stream.
+            (rng, k_zd, k_zg, k_gp, k_yd, k_yg, k_flip,
+             k_data) = jax.random.split(state.rng, 8)
+            k_aug_d = k_aug_g = None
 
         if "dataset_images" in batch:
             # Device-resident mode: the full dataset lives in HBM; gather
@@ -367,9 +427,28 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             y_fake_d = (jax.random.randint(k_yd, (bsz,), 0, n_classes)
                         if conditional else None)
 
+        # ADA adaptation: one on-device control loop — fold this batch's
+        # r_t into the EMA, nudge p toward holding it at the target, clip
+        # to [0, 1].  Per-step nudge = bsz / (ada_kimg * 1000): p can
+        # traverse [0,1] in ada_kimg thousand images (the paper's rule).
+        def _ada_update(metrics):
+            if not ada_on:
+                return state.ada_p, state.ada_rt, metrics
+            metrics = dict(metrics)
+            rt_b = metrics.pop("rt_batch")
+            rt = state.ada_rt * 0.9 + rt_b * 0.1
+            adj = jnp.sign(rt - cfg.train.ada_target) * (
+                bsz / (cfg.train.ada_kimg * 1000.0))
+            p = jnp.clip(state.ada_p + adj, 0.0, 1.0)
+            metrics["ada_p"] = p
+            metrics["ada_rt"] = rt
+            return p, rt, metrics
+
         if fused_prop:
             (grads_d, grads_g, state_d, state_g, metrics,
-             loss_g) = fused_updates(state, x_real, y_real, z_d, y_fake_d)
+             loss_g) = fused_updates(state, x_real, y_real, z_d, y_fake_d,
+                                     k_aug_d)
+            ada_p, ada_rt, metrics = _ada_update(metrics)
             updates, opt_d = tx_d.update(grads_d, state.opt_d,
                                          state.params_d)
             params_d = jax.tree.map(jnp.add, state.params_d, updates)
@@ -388,18 +467,20 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
                 params_g=params_g, state_g=state_g, opt_g=opt_g,
                 params_d=params_d, state_d=state_d, opt_d=opt_d,
                 rng=rng, step=state.step + 1, params_g_ema=ema,
+                ada_p=ada_p, ada_rt=ada_rt,
             ), dict(metrics, loss_g=loss_g)
 
         if accum > 1:
             grads, (state_d, state_g, metrics) = accum_d_grads(
                 state.params_d, state.state_d, state.params_g,
                 state.state_g, x_real, y_real, z_d, y_fake_d, k_gp,
-                batch.get("gp_alpha"))
+                batch.get("gp_alpha"), k_aug_d, state.ada_p)
         else:
             grads, (state_d, state_g, metrics) = d_grad(
                 state.params_d, state.state_d, state.params_g,
                 state.state_g, x_real, y_real, z_d, y_fake_d, k_gp,
-                batch.get("gp_alpha"))
+                batch.get("gp_alpha"), k_aug_d, state.ada_p)
+        ada_p, ada_rt, metrics = _ada_update(metrics)
         updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
         params_d = jax.tree.map(jnp.add, state.params_d, updates)
         if clip is not None:
@@ -420,11 +501,13 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             params_g, opt_g, state_g, state_d, ema = args
             if accum > 1:
                 grads_g, loss_g, state_g, state_d = accum_g_update(
-                    params_g, state_g, params_d, state_d, z_g, y_fake_g)
+                    params_g, state_g, params_d, state_d, z_g, y_fake_g,
+                    k_aug_g, state.ada_p)
             else:
                 (loss_g, (state_g, state_d)), grads_g = jax.value_and_grad(
                     g_loss, argnums=0, has_aux=True)(
-                        params_g, state_g, params_d, state_d, z_g, y_fake_g)
+                        params_g, state_g, params_d, state_d, z_g, y_fake_g,
+                        k_aug_g, state.ada_p)
             updates_g, opt_g = tx_g.update(grads_g, opt_g, params_g)
             params_g = jax.tree.map(jnp.add, params_g, updates_g)
             if ema is not None:
@@ -451,6 +534,7 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             params_g=params_g, state_g=state_g, opt_g=opt_g,
             params_d=params_d, state_d=state_d, opt_d=opt_d,
             rng=rng, step=state.step + 1, params_g_ema=ema,
+            ada_p=ada_p, ada_rt=ada_rt,
         )
         return new_state, metrics
 
