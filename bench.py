@@ -192,17 +192,28 @@ def bench_one_size(image_size: int, args) -> dict:
     for impl, bs in (("xla", batches),):
         for batch in bs:
             # Relay timing flukes can make one LSQ fit non-monotonic
-            # (observed in --quick where the k spread is small); retry so a
-            # single fluke can never zero a judged axis.
+            # (observed in --quick where the k spread is small); retry ONLY
+            # that fluke so it can never zero a judged axis — deterministic
+            # failures (OOM/unsupported batch) log once and move on instead
+            # of recompiling and re-failing three times.
+            ips = None
             for attempt in range(3):
                 try:
                     ips = bench_tpugan(image_size, batch, args.steps,
                                        impl=impl)
                     break
-                except Exception as e:  # OOM/unsupported: keep best so far
+                except RuntimeError as e:
+                    if "non-monotonic timing" not in str(e):
+                        log(f"tpugan {impl} batch {batch}: failed "
+                            f"({type(e).__name__}: {e})")
+                        break
                     log(f"tpugan {impl} batch {batch} attempt {attempt}: "
-                        f"failed ({type(e).__name__}: {e})")
-            else:
+                        f"timing fluke, retrying ({e})")
+                except Exception as e:  # OOM/unsupported: keep best so far
+                    log(f"tpugan {impl} batch {batch}: failed "
+                        f"({type(e).__name__}: {e})")
+                    break
+            if ips is None:
                 continue
             log(f"tpugan {impl} @{image_size} batch {batch}: "
                 f"{ips:.1f} images/s")

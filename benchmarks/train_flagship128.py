@@ -32,7 +32,6 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import argparse
 import json
 import sys
-import time
 
 
 def log(*a):
@@ -67,12 +66,9 @@ def main() -> None:
         args.grid = (f"docs/samples_{args.preset}_best_of_"
                      f"{args.steps // 1000}k.png")
 
-    from tpugan.configs import get_preset
-    from tpugan.eval import evaluate
-    from tpugan.train import Trainer
-    from tpugan.utils import make_grid, save_png, to_uint8
-
+    from benchmarks._long_run import long_run
     from tpugan.cli import _parse_sets
+    from tpugan.configs import get_preset
 
     cfg = get_preset(args.preset).override({
         "data.dataset": "synthetic",
@@ -95,30 +91,7 @@ def main() -> None:
         **_parse_sets(args.overrides),  # explicit --set wins over defaults
     })
 
-    t_setup = time.perf_counter()
-    trainer = Trainer(cfg)
-    real = trainer._dataset()["images"]
-    r0 = evaluate(cfg, trainer.g, trainer._gen_params(), trainer.state.state_g,
-                  seed=cfg.train.seed, real_images=real)
-    log(f"init proxy-FID {r0['fid']:.4f}  (setup {time.perf_counter()-t_setup:.0f}s)")
-
-    t0 = time.perf_counter()
-    last = trainer.train()
-    wall = time.perf_counter() - t0
-    r_final = trainer.evaluate(seed=cfg.train.seed)
-    log(f"final proxy-FID {r_final['fid']:.4f} after {args.steps} steps "
-        f"({wall:.0f}s wall incl. eval ticks)")
-
-    # Reload the banked best weights and render the deploy grid from them.
-    best_dir = _os.path.join(cfg.train.ckpt_dir, "best")
-    best_step = trainer.restore(best_dir)
-    r_best = trainer.evaluate(seed=cfg.train.seed)
-    sampler = trainer.sampler()
-    imgs = sampler.sample_fixed(sampler.noise(64, seed=7),
-                                sampler.labels(64, seed=7))
-    grid = make_grid(to_uint8(imgs), nrow=8)
-    save_png(args.grid, grid)
-    log(f"best grid (step {best_step}) -> {args.grid}")
+    r = long_run(cfg, grid_path=args.grid, label=args.preset)
 
     print(json.dumps({
         "config": (f"{args.preset} (synthetic stand-in, device_resident"
@@ -126,13 +99,14 @@ def main() -> None:
         "steps": args.steps,
         "batch": args.batch,
         "dataset_size": args.dataset_size,
-        "fid_init": round(r0["fid"], 4),
-        "fid_final": round(r_final["fid"], 4),
-        "fid_best": round(r_best["fid"], 4),
-        "best_step": int(best_step),
-        "fid_reduction_best": round(r0["fid"] / max(r_best["fid"], 1e-9), 1),
-        "images_per_sec_last": round(last.get("images_per_sec", 0.0)),
-        "train_wall_s": round(wall),
+        "fid_init": r["fid_init"],
+        "fid_final": r["fid_end"],
+        "fid_best": r["fid_best"],
+        "best_step": r["best_step"],
+        "fid_reduction_best": r["fid_reduction_best"],
+        "halted_nonfinite": r["halted_nonfinite"],
+        "images_per_sec_last": r["images_per_sec_last"],
+        "train_wall_s": r["wall_s"],
     }))
 
 

@@ -27,17 +27,12 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import json
-import time
 
-
-def log(*a):
-    print(*a, file=_sys.stderr, flush=True)
+from benchmarks._long_run import long_run
 
 
 def run_arm(args, name: str, overrides: dict) -> dict:
     from tpugan.configs import get_preset
-    from tpugan.eval import evaluate
-    from tpugan.train import NonFiniteLossError, Trainer
 
     out = _os.path.join(args.out, name)
     cfg = get_preset(args.preset).override({
@@ -60,62 +55,7 @@ def run_arm(args, name: str, overrides: dict) -> dict:
         "eval.fid_batch": 256,
         **overrides,
     })
-
-    trainer = Trainer(cfg)
-    real = trainer._dataset()["images"]
-    r0 = evaluate(cfg, trainer.g, trainer._gen_params(),
-                  trainer.state.state_g, seed=cfg.train.seed,
-                  real_images=real)
-    log(f"[{name}] init proxy-FID {r0['fid']:.4f}")
-
-    t0 = time.perf_counter()
-    halted = None
-    try:
-        last = trainer.train()
-    except NonFiniteLossError as e:
-        halted = str(e)
-        last = {}
-        log(f"[{name}] HALTED non-finite: {e}")
-    wall = time.perf_counter() - t0
-
-    # proxy-FID trajectory from the run's metrics.jsonl (eval records carry
-    # 'fid'; train records carry 'loss_d')
-    traj = []
-    with open(_os.path.join(cfg.train.out_dir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec and "loss_d" not in rec:
-                traj.append((rec["step"], round(rec["fid"], 4)))
-
-    r_final = trainer.evaluate(seed=cfg.train.seed) if halted is None else None
-    best_dir = _os.path.join(cfg.train.ckpt_dir, "best")
-    r_best = None
-    best_step = None
-    if _os.path.isdir(best_dir):
-        best_step = trainer.restore(best_dir)
-        r_best = trainer.evaluate(seed=cfg.train.seed)
-
-    fid_best = r_best["fid"] if r_best else min(
-        (f for _, f in traj), default=float("nan"))
-    # collapse diagnostic: how much the END of the run regressed from the
-    # best the run ever reached (a healthy run holds >= ~1; a memorization
-    # collapse ends orders of magnitude above its own best)
-    fid_end = (r_final["fid"] if r_final
-               else (traj[-1][1] if traj else float("nan")))
-    log(f"[{name}] best {fid_best:.4f} @ {best_step}  end {fid_end:.4f}  "
-        f"({wall:.0f}s)")
-    return {
-        "arm": name,
-        "fid_init": round(r0["fid"], 4),
-        "fid_best": round(float(fid_best), 4),
-        "best_step": int(best_step) if best_step is not None else None,
-        "fid_end": round(float(fid_end), 4),
-        "end_over_best": round(float(fid_end) / max(float(fid_best), 1e-9), 2),
-        "halted_nonfinite": halted,
-        "trajectory": traj,
-        "images_per_sec_last": round(last.get("images_per_sec", 0.0)),
-        "wall_s": round(wall),
-    }
+    return {"arm": name, **long_run(cfg, label=name)}
 
 
 def main() -> None:

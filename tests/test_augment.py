@@ -312,6 +312,26 @@ def test_unknown_augment_op_rejected_at_build():
         build_train_step(cfg, g, d)
 
 
+@pytest.mark.parametrize("kind", ["lsgan", "wgan", "wgan_gp"])
+def test_ada_rejects_uncalibrated_loss_kinds(kind):
+    """r_t = E[sign(D(real))] needs a zero-calibrated logit: lsgan regresses
+    D(real) toward 1.0 (sign saturates regardless of overfitting) and wgan
+    critic scores have no calibrated zero — p would silently ramp to 1.0.
+    Fixed-p DiffAugment (augment without ada_target) stays allowed."""
+    over = {"train.augment": FULL, "train.ada_target": 0.6,
+            "loss.kind": kind}
+    if kind == "wgan_gp":
+        over["loss.lambda_gp"] = 10.0
+    cfg = tiny(**over)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    with pytest.raises(ValueError, match="zero-calibrated"):
+        build_train_step(cfg, g, d)
+    # fixed-p DiffAugment with the same loss still builds
+    cfg2 = tiny(**{"train.augment": FULL, "loss.kind": kind,
+                   **({"loss.lambda_gp": 10.0} if kind == "wgan_gp" else {})})
+    build_train_step(cfg2, g, d)
+
+
 def test_ada_p_ramps_up_and_clips():
     # target = -1: sign(rt_ema - target) is +1 whenever rt_ema > -1, so p
     # climbs by bsz/(ada_kimg*1000) per step and clips at 1.

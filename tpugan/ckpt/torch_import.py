@@ -209,8 +209,9 @@ def split_reference_checkpoint(obj) -> Tuple[Optional[Dict], Optional[Dict],
         if isinstance(obj.get(k), (int, float)):
             step = int(obj[k])
             break
-    if "epoch" in obj and not step and isinstance(obj["epoch"], (int, float)):
-        step = 0  # epochs don't convert to steps without the loader size
+    # NOTE: an 'epoch' field alone is NOT converted — epochs don't map to
+    # steps without the original loader size; importers pass --step if they
+    # know it.
     if g_sd is None and d_sd is None:
         # bare state_dict: tell G from D by their distinctive keys
         # (check D first — 'embed' appears in BOTH conditional nets, but

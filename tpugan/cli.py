@@ -291,15 +291,17 @@ def cmd_import_torch(args):
         g_sd, d_sd, found = split_reference_checkpoint(load(args.ckpt))
         step = step or found
     if args.g:
-        g_sd, _, _ = split_reference_checkpoint(load(args.g))
+        g_sd, _, found = split_reference_checkpoint(load(args.g))
         if g_sd is None:
             raise SystemExit(f"{args.g} does not look like a generator "
                              "state_dict")
+        step = step or found  # a full checkpoint passed via --g keeps its step
     if args.d:
-        _, d_sd, _ = split_reference_checkpoint(load(args.d))
+        _, d_sd, found = split_reference_checkpoint(load(args.d))
         if d_sd is None:
             raise SystemExit(f"{args.d} does not look like a discriminator "
                              "state_dict")
+        step = step or found
     if g_sd is None and d_sd is None:
         raise SystemExit("nothing to import: pass --ckpt and/or --g/--d")
 

@@ -97,8 +97,13 @@ def rand_translation(x: jax.Array, key: jax.Array,
     # have no matching j and stay all-zero -> zero-filled border)
     ph = (ih[None, None, :] == ih[None, :, None] + th).astype(x.dtype)
     pw = (iw[None, None, :] == iw[None, :, None] + tw).astype(x.dtype)
-    out = jnp.einsum("nij,njwc->niwc", ph, x)
-    return jnp.einsum("nkw,niwc->nikc", pw, out)
+    # HIGHEST precision: the TPU default truncates matmul operands to
+    # bf16, which would quantize every augmented pixel (and G's gradient
+    # through the op) — with exact f32 passes each output element is the
+    # single product 1.0 * x, keeping the bitwise-equal-to-gather contract.
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("nij,njwc->niwc", ph, x, precision=hi)
+    return jnp.einsum("nkw,niwc->nikc", pw, out, precision=hi)
 
 
 def rand_cutout(x: jax.Array, key: jax.Array,

@@ -28,6 +28,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -406,7 +407,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_json(503, {"error": str(e)},
                              extra_headers={"Retry-After": "1"})
             return
-        except TimeoutError:
+        except (TimeoutError, FuturesTimeoutError):
             # Shed, don't abandon: fail the queued future(s) so the worker
             # drops the device work — otherwise a retrying client's
             # timeouts pile load on instead of shedding it.

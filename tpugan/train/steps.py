@@ -95,6 +95,19 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
         raise ValueError(
             "nonzero train.ada_target requires train.augment to name at "
             "least one op (e.g. 'color,translation,cutout')")
+    if ada_on and cfg.loss.kind not in ("bce", "hinge"):
+        # ADA's overfitting heuristic r_t = E[sign(D(real))] needs a
+        # zero-calibrated logit.  lsgan regresses D(real) toward 1.0 (sign
+        # saturates at +1 within a few hundred steps regardless of
+        # overfitting) and wgan critic scores have no calibrated zero —
+        # under either, p would silently ramp to max-strength augmentation.
+        # Use fixed-p DiffAugment (train.augment alone) for those losses.
+        raise ValueError(
+            f"train.ada_target requires a zero-calibrated logit loss "
+            f"(bce or hinge), not {cfg.loss.kind!r}: r_t = E[sign(D(real))] "
+            f"saturates under lsgan and is uncalibrated for wgan, so p "
+            f"would ramp to 1.0 regardless of overfitting — use fixed-p "
+            f"DiffAugment (train.augment without ada_target) instead")
 
     def _aug(x, k, p):
         return apply_policy(x, k, policy, 1.0 if p is None else p)
