@@ -118,7 +118,13 @@ class TrainConfig:
     out_dir: str = "runs/out"
     seed: int = 0
     precision: str = "bf16"  # bf16 (params fp32, compute bf16) | fp32
-    ema: float = 0.0  # EMA decay for generator weights (0 = off; e.g. 0.999)
+    # EMA decay for generator weights (0 = off).  Eval/sampling use the EMA
+    # weights when on.  Pick decay so the averaging window 1/(1-decay) is
+    # <= ~1% of the training horizon: measured on chip at 10k steps,
+    # ema=0.99 banked a 13% better best than raw weights while ema=0.999
+    # (window outspanning the mode oscillation) was 2.6x worse
+    # (BASELINE.md round-4 EMA addendum).
+    ema: float = 0.0
     profile_steps: int = 0  # capture an XLA profiler trace of steps 2..2+N
     remat: bool = False  # jax.checkpoint G/D forwards (trade FLOPs for HBM)
     # With device-resident data: run K training steps per dispatch via
