@@ -139,6 +139,8 @@ print(f"TRAIN{pid}_OK loss_d={loss_d:.6f}", flush=True)
 """
 
 
+@pytest.mark.slow  # 132s: full WGAN-GP step over 2 OS processes; the
+# 2-proc psum test keeps the multihost path gated in the default tier
 def test_two_process_distributed_train_step(tmp_path):
     """The full WGAN-GP train step (gradient penalty double backward,
     cross-replica BN, both optimizer updates) executes over a mesh spanning

@@ -204,6 +204,9 @@ def test_device_resident_dp_actually_partitions():
     assert np.isfinite(float(m["loss_d"]))
 
 
+@pytest.mark.slow  # 112s: two Trainer compiles + FSDP resume; the
+# fsdp_2d_mesh equivalence + device_resident x FSDP composition tests
+# keep FSDP gated in the default tier
 def test_trainer_fsdp_wiring(tmp_path):
     """train.fsdp_shards: the Trainer builds the (data, model) mesh itself,
     params/opt actually shard over 'model', training matches the

@@ -266,6 +266,8 @@ def test_dp_x_spatial_train_step_matches_dense(rng):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow  # 80s: 2-D-mesh Trainer compile; the
+# dp_x_spatial step-equivalence test keeps the path in the default tier
 def test_trainer_dp_x_spatial_wiring(tmp_path):
     """Trainer builds the 2-D mesh itself when both train.mesh_shape and
     train.spatial_shards are set; public-API run produces finite losses."""
