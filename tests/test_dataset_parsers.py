@@ -35,6 +35,22 @@ def test_mnist_idx_reader(tmp_path, rng):
     np.testing.assert_array_equal(data["labels"], labels.astype(np.int32))
 
 
+def test_mnist_honors_requested_geometry(tmp_path, rng):
+    """image_size/channels are the model's geometry (the reference's
+    torchvision Resize/Grayscale transforms): mnist at 64px must resize —
+    not silently hand a 28px real batch to a 64px discriminator."""
+    imgs = rng.integers(0, 256, size=(6, 28, 28)).astype(np.uint8)
+    _write_idx_images(str(tmp_path / "train-images-idx3-ubyte.gz"), imgs)
+    data = load_dataset("mnist", str(tmp_path), image_size=64, channels=1)
+    assert data["images"].shape == (6, 64, 64, 1)
+    assert data["images"].dtype == np.uint8
+    # channel tiling: the classic mnist-as-RGB config
+    data3 = load_dataset("mnist", str(tmp_path), image_size=32, channels=3)
+    assert data3["images"].shape == (6, 32, 32, 3)
+    np.testing.assert_array_equal(data3["images"][..., 0],
+                                  data3["images"][..., 2])
+
+
 def test_cifar10_pickle_reader(tmp_path, rng):
     root = tmp_path / "cifar-10-batches-py"
     os.makedirs(root)

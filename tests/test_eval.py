@@ -145,6 +145,35 @@ def test_real_feature_cache_hit_for_passed_images(rng, monkeypatch):
     assert r1["fid"] == r2["fid"]
 
 
+def test_real_feature_cache_isolates_differing_configs():
+    """Two configs that share a dataset NAME but differ in channels (and
+    hence in proxy extractor) must not share cached real features — a
+    collision silently compares embeddings from two different random
+    networks (same 256-dim shape, garbage FID)."""
+    import importlib
+
+    ev = importlib.import_module("tpugan.eval.evaluate")
+    ev._REAL_FEAT_CACHE.clear()
+
+    def run(channels):
+        cfg = get_preset("dcgan_cifar10").override({
+            "data.dataset": "synthetic", "data.synthetic_size": 128,
+            "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+            "model.channels": channels,
+            "train.precision": "fp32", "eval.fid_n": 64,
+            "eval.fid_batch": 64,
+        })
+        g, d = build_models(cfg.model, cfg.train.precision)
+        state = create_train_state(cfg, g, d)
+        return ev.evaluate(cfg, g, state.params_g, state.state_g, seed=0)
+
+    r3 = run(3)
+    r1 = run(1)
+    assert np.isfinite(r3["fid"]) and np.isfinite(r1["fid"])
+    # the two (dataset, ...) keys must coexist — no silent sharing
+    assert len(ev._REAL_FEAT_CACHE) == 2
+
+
 def test_kid_near_zero_same_distribution(rng):
     from tpugan.eval.fid import kid_from_features
     a = rng.standard_normal((800, 16))

@@ -71,6 +71,25 @@ def test_pipeline_shuffles_and_is_deterministic():
     assert np.asarray(b1["image"]).dtype == np.uint8
 
 
+def test_pipeline_start_step_fast_forwards_the_stream():
+    """A pipeline built with start_step=s yields exactly the batches an
+    uninterrupted stream yields from step s on — including across the
+    epoch boundary — so a resumed host-pipeline run sees the data an
+    uninterrupted run would have seen (bit-exact-resume contract)."""
+    data = make_synthetic(8, 1, 32, seed=0)
+    straight = iter(make_input_pipeline(data, 8, seed=5))
+    skipped = [next(straight) for _ in range(6)]  # 4 steps/epoch: crosses one
+    resumed = iter(make_input_pipeline(data, 8, seed=5, start_step=6))
+    for _ in range(3):
+        cont = next(straight)
+        res = next(resumed)
+        np.testing.assert_array_equal(np.asarray(cont["image"]),
+                                      np.asarray(res["image"]))
+    # sanity: the resumed stream did NOT replay the skipped batches
+    assert not np.array_equal(np.asarray(skipped[0]["image"]),
+                              np.asarray(res["image"]))
+
+
 def test_missing_real_dataset_raises(tmp_path):
     try:
         load_dataset("mnist", str(tmp_path), image_size=28, channels=1)

@@ -41,6 +41,37 @@ def test_cadences_fire_once_per_window(tmp_path, k):
     assert sorted(map(int, ckpts)) == [8, 16, 24]
 
 
+def test_host_pipeline_resume_matches_uninterrupted_run(tmp_path):
+    """Public-API resume through the HOST pipeline (device_resident=false)
+    is bit-exact vs an uninterrupted run: the data stream fast-forwards to
+    the checkpoint step instead of replaying epoch 0's batches (which
+    silently diverged before the pipeline grew start_step)."""
+    import jax
+
+    base = {"train.log_every": 100, "train.sample_every": 0,
+            "train.ckpt_every": 8, "train.total_steps": 8}
+    # 32 imgs / batch 8 = 4 steps/epoch: step 8 is one full epoch past the
+    # step-4 checkpoint, so a replayed stream WOULD differ
+    cfg_full = _cfg(str(tmp_path / "full"), **base)
+    Trainer(cfg_full).train()
+    full = Trainer(cfg_full)  # fresh instance just to restore
+    full.restore(cfg_full.train.ckpt_dir)
+
+    cfg_half = _cfg(str(tmp_path / "half"),
+                    **{**base, "train.total_steps": 4,
+                       "train.ckpt_every": 4})
+    Trainer(cfg_half).train()
+    cfg_res = cfg_half.override({"train.total_steps": 8,
+                                 "train.ckpt_every": 8,
+                                 "train.resume": cfg_half.train.ckpt_dir})
+    t_res = Trainer(cfg_res)
+    t_res.train()
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(full.state.params_g)),
+                    jax.tree.leaves(jax.device_get(t_res.state.params_g))):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cli_train_with_mesh_shape(tmp_path, capsys):
     """--set train.mesh_shape=4 builds a 4-device DP mesh (coercion fix)."""
     from tpugan import cli

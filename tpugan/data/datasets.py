@@ -42,9 +42,11 @@ def load_dataset(name: str, data_dir: str, *, image_size: int,
     exceed ``max_ram_mb``.  Streaming datasets appear in the returned dict
     as a ``StreamingImageFolder`` (array-like: len / slice / gather)."""
     if name == "mnist":
-        return _load_mnist(data_dir)
+        return _fit_geometry(_load_mnist(data_dir), image_size, channels,
+                             "mnist")
     if name == "cifar10":
-        return _load_cifar10(data_dir)
+        return _fit_geometry(_load_cifar10(data_dir), image_size, channels,
+                             "cifar10")
     if name == "celeba":
         return _load_celeba(data_dir, image_size, streaming=streaming,
                             max_ram_mb=max_ram_mb)
@@ -52,6 +54,41 @@ def load_dataset(name: str, data_dir: str, *, image_size: int,
         return make_synthetic(image_size, channels, synthetic_size,
                               seed=seed, n_classes=n_classes)
     raise ValueError(f"unknown dataset {name!r}; available: {DATASETS}")
+
+
+def _fit_geometry(data: Dict[str, np.ndarray], image_size: int,
+                  channels: int, name: str) -> Dict[str, np.ndarray]:
+    """Resize / channel-convert a fixed-geometry dataset to the requested
+    model geometry (the reference's torchvision ``Resize``/``Grayscale``
+    transforms).  Without this, mnist at image_size=64 — the classic
+    DCGAN-on-MNIST config — would silently feed 28×28 reals to a 64×64
+    discriminator and fail deep inside the jitted step."""
+    imgs = data["images"]  # uint8 NHWC
+    n, h, _, c = imgs.shape
+    if h != image_size:
+        from PIL import Image
+
+        mode = "L" if c == 1 else "RGB"
+        out = np.empty((n, image_size, image_size, c), np.uint8)
+        for i in range(n):
+            a = imgs[i, :, :, 0] if c == 1 else imgs[i]
+            r = Image.fromarray(a, mode).resize(
+                (image_size, image_size), Image.BILINEAR)
+            out[i] = np.asarray(r)[..., None] if c == 1 else np.asarray(r)
+        imgs = out
+    if c != channels:
+        if c == 1 and channels == 3:
+            imgs = np.repeat(imgs, 3, axis=-1)
+        elif c == 3 and channels == 1:
+            # ITU-R 601 luma, the PIL "L" formula
+            imgs = np.clip(
+                imgs[..., 0] * 0.299 + imgs[..., 1] * 0.587
+                + imgs[..., 2] * 0.114, 0, 255).astype(np.uint8)[..., None]
+        else:
+            raise ValueError(
+                f"{name}: cannot convert {c}-channel images to "
+                f"{channels} channels")
+    return {**data, "images": np.ascontiguousarray(imgs)}
 
 
 # ---------------------------------------------------------------------------

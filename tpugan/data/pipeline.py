@@ -36,7 +36,7 @@ class make_input_pipeline:
                  with_labels: bool = True,
                  sharding: Optional[jax.sharding.Sharding] = None,
                  prefetch: int = 2, stack: int = 1,
-                 multiprocess: bool = False):
+                 multiprocess: bool = False, start_step: int = 0):
         self.images = data["images"]
         self.labels = data.get("labels") if with_labels else None
         self.batch_size = batch_size
@@ -62,14 +62,21 @@ class make_input_pipeline:
         if n < batch_size:
             raise ValueError(f"dataset size {n} < batch size {batch_size}")
         self.steps_per_epoch = n // batch_size if drop_remainder else -(-n // batch_size)
+        # Resume support: fast-forward the deterministic stream to this
+        # step (index arithmetic only — skipped batches are never decoded).
+        # Without it a resumed run would replay epoch 0's batches, silently
+        # diverging from the uninterrupted run the bit-exact-resume
+        # contract promises (the device-resident path derives its position
+        # from state.step; this is the host-pipeline equivalent).
+        self.start_step = int(start_step)
 
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        epoch = 0
+        epoch, s0 = divmod(self.start_step, self.steps_per_epoch)
         n = len(self.images)
         while True:
             order = np.random.default_rng(
                 np.random.SeedSequence([self.seed, epoch])).permutation(n)
-            for s in range(self.steps_per_epoch):
+            for s in range(s0, self.steps_per_epoch):
                 idx = order[s * self.batch_size:(s + 1) * self.batch_size]
                 if self.multiprocess:
                     # identical global order everywhere; each host touches
@@ -90,6 +97,7 @@ class make_input_pipeline:
                     batch["label"] = self.labels[idx]
                 yield batch
             epoch += 1
+            s0 = 0
 
     def _stacked_batches(self):
         if self.stack == 1:

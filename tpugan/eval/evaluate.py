@@ -59,20 +59,36 @@ def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
     feat_fake, probs_fake = extractor(fake, batch=bs)
 
     if real_images is None:
-        key = ("dataset", cfg.data.dataset, cfg.model.image_size,
+        # The key must pin EVERYTHING that changes either the real set or
+        # the extractor: channels picks a different (random-net) extractor
+        # with the same 256-dim output shape, and data_dir / the synthetic
+        # (seed, size, n_classes) change the images behind the same dataset
+        # name — a collision would silently compare features from two
+        # different embedding spaces.
+        key = ("dataset", cfg.data.dataset, cfg.data.data_dir,
+               cfg.model.image_size, cfg.model.channels,
+               cfg.data.synthetic_size, cfg.train.seed, cfg.model.n_classes,
                cfg.eval.metric, cfg.eval.inception_weights, n)
         if _cache_get(key) is None:
             data = load_dataset(
                 cfg.data.dataset, cfg.data.data_dir,
                 image_size=cfg.model.image_size, channels=cfg.model.channels,
                 synthetic_size=cfg.data.synthetic_size, seed=cfg.train.seed,
-                n_classes=cfg.model.n_classes)
-            real_images = data["images"][:n].astype(np.float32) / 127.5 - 1.0
+                n_classes=cfg.model.n_classes,
+                # honor the config's host-memory contract: a forced- or
+                # auto-streaming folder dataset decodes only the n images
+                # sliced below, not the whole folder
+                streaming=cfg.data.streaming, max_ram_mb=cfg.data.max_ram_mb)
+            imgs = data["images"]
+            if hasattr(imgs, "gather"):  # streaming: decode just the slice
+                imgs = np.asarray(imgs[:n])
+            real_images = imgs[:n].astype(np.float32) / 127.5 - 1.0
     elif hasattr(real_images, "fingerprint"):
         # Streaming dataset: key on its identity BEFORE decoding anything —
         # a cache hit costs zero JPEG decodes (the production
         # streaming + keep_best combination evaluates every eval_every tick).
         key = ("stream", real_images.fingerprint(), min(n, len(real_images)),
+               cfg.model.channels,
                cfg.eval.metric, cfg.eval.inception_weights)
         if _cache_get(key) is None:
             real_images = np.asarray(
@@ -80,6 +96,7 @@ def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
     else:
         real_images = np.asarray(real_images)[:n]
         key = ("passed", _array_fingerprint(real_images),
+               cfg.model.channels,
                cfg.eval.metric, cfg.eval.inception_weights)
         if _cache_get(key) is None:
             real_images = real_images.astype(np.float32)

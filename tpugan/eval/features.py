@@ -138,6 +138,11 @@ def _make_extractor(channels: int, backend: str, weights_path: str):
 
         @jax.jit
         def extract_inc(x):
+            if x.shape[-1] == 1:
+                # grayscale -> RGB, as pytorch-fid does (InceptionV3's first
+                # conv is 3-channel; without the tile 1-channel eval crashes
+                # mid-training on a conv channel mismatch)
+                x = jnp.repeat(x, 3, axis=-1)
             x = inception.resize_to_299(x.astype(jnp.float32))
             feat, logits = inception.forward(params, x)
             return feat, jax.nn.softmax(logits, axis=-1)

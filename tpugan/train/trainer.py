@@ -351,7 +351,10 @@ class Trainer:
             pipeline = make_input_pipeline(
                 data, cfg.data.batch_size, seed=cfg.train.seed,
                 with_labels=cfg.model.arch == "cdcgan",
-                sharding=sharding, stack=k_steps, multiprocess=multiproc)
+                sharding=sharding, stack=k_steps, multiprocess=multiproc,
+                # resume: continue the deterministic stream where the
+                # checkpoint left off instead of replaying epoch 0
+                start_step=int(self.state.step))
 
         sampler = Sampler(cfg, self.g, self.state.params_g,
                           self.state.state_g)
@@ -444,6 +447,13 @@ class Trainer:
                         if bad:
                             self.save_checkpoint(ckpt)
                             ckpt.close()
+                            if best_ckpt is not None:
+                                # flush the async best-slot write: the
+                                # deploy-point checkpoint must not be left
+                                # half-written by this abort
+                                best_ckpt.close()
+                            if profiling:
+                                jax.profiler.stop_trace()
                             logger.close()
                             raise NonFiniteLossError(
                                 f"non-finite metrics {bad} at step {step_no}; "
@@ -463,8 +473,12 @@ class Trainer:
                         save_png(os.path.join(
                             out_dir, f"samples_{step_no:07d}.png"), grid)
                         logger.log_image(step_no, "samples", grid)
+                    t0 = time.perf_counter()  # grid D2H+PNG out of img/s
+                    imgs_since = 0
 
-                if cfg.train.eval_every and step_no % cfg.train.eval_every < k:
+                if cfg.train.eval_every and (
+                        step_no % cfg.train.eval_every < k
+                        or step_no >= total_steps):
                     from tpugan.eval import evaluate
 
                     # pass the dataset unsliced: evaluate() slices to
