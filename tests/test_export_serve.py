@@ -431,6 +431,34 @@ def test_engine_close_fails_pending_futures(unconditional):
     assert resolved < len(futs)
 
 
+def test_http_request_size_cap_scales_with_image_size(server):
+    """The n cap is a response-BYTE budget, not a flat count: a request
+    whose npy response would exceed MAX_RESPONSE_MB is a 400 at parse
+    time (concurrent multi-GB responses OOMed the serving host before),
+    and the error names the actual cap."""
+    from tpugan.serve.server import MAX_RESPONSE_MB
+
+    port, exported = server
+    s, c = exported.image_size, exported.channels
+    cap = min(4096, max(1, MAX_RESPONSE_MB * (1 << 20) // (s * s * c * 4)))
+    status, _, body = _post(port, "/sample", {"n": cap + 1})
+    assert status == 400 and b"out of range" in body
+
+
+def test_engine_requests_stat_counts_clients_not_chunks(unconditional):
+    """One oversized client request splits into ceil(n/max_batch) device
+    chunks; stats['requests'] must count 1, not the chunk count."""
+    _, _, _, exported = unconditional
+    engine = BatchingEngine(exported, max_batch=4, linger_ms=1.0)
+    try:
+        before = engine.stats["requests"]
+        imgs = engine.sample(10, seed=0).result(timeout=120)  # 3 chunks
+        assert imgs.shape[0] == 10
+        assert engine.stats["requests"] == before + 1
+    finally:
+        engine.close()
+
+
 def test_http_validation_nrow_and_labels(server):
     """Request validation happens BEFORE device work: bad nrow and bad
     labels are 400s with JSON bodies, never 500s/dropped connections."""

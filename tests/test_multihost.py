@@ -417,3 +417,10 @@ def test_initialize_multihost_unit_paths(monkeypatch):
     calls.clear()
     assert initialize_multihost(autodetect=True) == 3
     assert calls == [(None, None, None)]
+
+    # half-specified cluster: a lone process_id must fail loudly — a
+    # silent single-process fallback would train every host independently
+    calls.clear()
+    with pytest.raises(ValueError, match="without"):
+        initialize_multihost(process_id=3)
+    assert calls == []

@@ -76,6 +76,13 @@ def test_mesh_subset():
     assert mesh.devices.size == 4
 
 
+def test_mesh_over_request_rejected():
+    """Asking for more devices than exist must fail, not silently truncate
+    to a smaller mesh (2x per-chip batch, wrong throughput assumptions)."""
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(999)
+
+
 def test_fsdp_2d_mesh_matches_single_device():
     """(data=4, model=2) FSDP placement: same numerics, sharded weights."""
     from tpugan.parallel.fsdp import (

@@ -32,6 +32,9 @@ class CheckpointManager:
             enable_async_checkpointing=async_save,
         )
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
+        # highest step handed to save() (an async save isn't in
+        # latest_step() until it commits) — used to detect rewrites
+        self._last_saved_step: Optional[int] = None
 
     def save(self, step: int, state: Any, config_json: str = "") -> None:
         ocp = self._ocp
@@ -44,13 +47,21 @@ class CheckpointManager:
         # Delete-then-save instead; the delete→save window is not atomic,
         # so a crash inside it loses this step (resume falls back to the
         # previous retained step — max_to_keep>1 keeps that fallback real).
-        # Wait for in-flight async saves FIRST: a still-serializing save of
-        # this same step is not yet listed by all_steps(), and racing it
-        # would hit StepAlreadyExistsError below.
-        self.mgr.wait_until_finished()
-        if step in (self.mgr.all_steps() or []):
-            self.mgr.delete(step)
+        # Wait for in-flight async saves only when this step COULD collide
+        # (a still-serializing save of the same step is not yet listed by
+        # all_steps()).  Normal monotonic saves skip the wait and keep the
+        # async overlap the class advertises — an unconditional wait made
+        # every save block on the previous serialization.
+        latest = self.mgr.latest_step()
+        if self._last_saved_step is not None and (
+                latest is None or self._last_saved_step > latest):
+            latest = self._last_saved_step
+        if latest is not None and step <= latest:
+            self.mgr.wait_until_finished()
+            if step in (self.mgr.all_steps() or []):
+                self.mgr.delete(step)
         self.mgr.save(step, args=ocp.args.StandardSave(state))
+        self._last_saved_step = step
         if config_json:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 f.write(config_json)

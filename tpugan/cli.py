@@ -66,7 +66,8 @@ def cmd_train(args):
             cfg.train, resume=args.resume))
     print(cfg.to_json())
     mesh = None
-    if cfg.train.mesh_shape and not cfg.train.fsdp_shards:
+    if cfg.train.mesh_shape and not (cfg.train.fsdp_shards
+                                     or cfg.train.spatial_shards):
         # plain DP mesh; with fsdp_shards/spatial_shards set the Trainer
         # builds the 2-D mesh itself from mesh_shape x that axis
         from tpugan.parallel import make_mesh
@@ -107,21 +108,13 @@ def cmd_sample(args):
 
 
 def cmd_eval(args):
-    from tpugan.ckpt import CheckpointManager
     from tpugan.eval import evaluate
-    from tpugan.models import build_models
-    from tpugan.train import TrainState, create_train_state
 
-    cfg = _load_cfg_for_ckpt(args.ckpt)
+    cfg, g, params, state_g, _ = _load_generator_from_ckpt(args.ckpt)
     if args.fid_n:
         cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
             cfg.eval, fid_n=args.fid_n))
-    g, d = build_models(cfg.model, cfg.train.precision)
-    template = create_train_state(cfg, g, d)
-    state = TrainState(**CheckpointManager(args.ckpt).restore(dict(template)))
-    params = (state.params_g_ema if state.params_g_ema is not None
-              else state.params_g)
-    result = evaluate(cfg, g, params, state.state_g, seed=args.seed)
+    result = evaluate(cfg, g, params, state_g, seed=args.seed)
     print(json.dumps(result))
 
 
@@ -129,7 +122,8 @@ def cmd_export(args):
     from tpugan.export import save_generator
 
     cfg, g, params, state_g, step = _load_generator_from_ckpt(args.ckpt)
-    platforms = tuple(args.platforms.split(","))
+    platforms = tuple(
+        p.strip() for p in args.platforms.split(",") if p.strip())
     save_generator(args.out, cfg, g, params, state_g,
                    batch=args.batch or None, platforms=platforms)
     size = os.path.getsize(args.out)

@@ -31,6 +31,13 @@ def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devs):
+            # Silent truncation would run a planned N-way job on fewer
+            # chips — 2x per-chip batch, wrong throughput assumptions —
+            # with no signal.  Fail like make_mesh_2d/make_mesh_dp_spatial.
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} device(s) are available")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("data",))
 

@@ -36,6 +36,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize()
         return jax.process_index()
     if coordinator_address is None and num_processes in (None, 1):
+        if process_id not in (None, 0):
+            # A lone process_id is a half-specified cluster: silently
+            # running single-process would train every host independently
+            # with no gradient sync.
+            raise ValueError(
+                f"process_id={process_id} given without "
+                f"coordinator_address/num_processes — pass both (or "
+                f"autodetect=True on a TPU pod) to initialize the cluster")
         return 0
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -22,10 +22,12 @@ Halo math, stride-2 k=4 p=1 conv: output row i reads input rows 2i−1…2i+2,
 so a shard owning input rows [h0, h0+Hs) needs one halo row above and one
 below.  ConvT: output = conv(zero-interleaved input, flipped w, pad k−1−p=2);
 output rows [2h0, 2h0+2Hs) read dilated rows 2h0−2…2h0+2Hs+1, whose even
-(= nonzero) members are input rows h0−1…h0+Hs — again one halo row each way;
-odd dilated rows are zeros, so the per-shard conv pads (0, 1) in the sharded
-dim to cover the trailing odd row.  Global edges substitute zeros (= the
-reference padding).
+(= nonzero) members are input rows h0−1…h0+Hs — again one halo row each way.
+The per-shard conv then needs NO extra pad in the sharded dim ((0, 0)): the
+down-halo row supplies the trailing dilated elements, and VALID over the
+dilated (halo+shard+halo) rows yields exactly 2Hs outputs (the derivation
+lives at the pad assignment in _convt_forward).  Global edges substitute
+zeros (= the reference padding).
 """
 
 from __future__ import annotations

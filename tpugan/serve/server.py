@@ -50,6 +50,14 @@ class EngineOverloadedError(RuntimeError):
     the HTTP layer maps it to a fast 503 instead of queueing unboundedly."""
 
 
+# Per-request response-buffer budget: POST /sample concatenates the result
+# in the handler thread and npy-encoding makes a second copy, so the real
+# per-request footprint is ~2x this.  ThreadingHTTPServer handles requests
+# concurrently — the cap is what keeps a handful of big npy requests from
+# OOMing the serving host.
+MAX_RESPONSE_MB = 512
+
+
 class BatchingEngine:
     """Coalesce concurrent generation requests into padded device batches."""
 
@@ -84,6 +92,11 @@ class BatchingEngine:
         never poison co-batched requests; larger-than-max_batch requests
         are split into max_batch chunks and transparently reassembled.
         """
+        with self._lat_lock:
+            # one client request, however many chunks it splits into
+            # (the worker counts batches/images; counting chunks here
+            # over-reported 'requests' 64x for an n=4096 call)
+            self.stats["requests"] += 1
         z = np.asarray(z, np.float32)
         if z.ndim != 2 or z.shape[1] != self.gen.nz:
             raise ValueError(
@@ -306,7 +319,6 @@ class BatchingEngine:
                         pass
                 continue
             self.stats["batches"] += 1
-            self.stats["requests"] += len(items)
             self.stats["images"] += n
             self.stats["padded_images"] += bucket - n
             off = 0
@@ -374,8 +386,18 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
             n = int(req.get("n", 1))
-            if not 1 <= n <= 4096:
-                raise ValueError(f"n out of range: {n}")
+            g = self.engine.gen
+            # flat-4096 allowed ~6.5 GB of response buffers per request at
+            # 256px; cap by response size so concurrent handler threads
+            # can't OOM the serving host (queue_depth only bounds pending
+            # latents, not response buffers)
+            budget = MAX_RESPONSE_MB * (1 << 20)
+            n_cap = min(4096, max(1, budget // (
+                g.image_size * g.image_size * g.channels * 4)))
+            if not 1 <= n <= n_cap:
+                raise ValueError(
+                    f"n out of range: {n} (max {n_cap} at "
+                    f"{g.image_size}px; {MAX_RESPONSE_MB} MB response cap)")
             seed = int(req.get("seed", 0))
             labels = req.get("labels")
             if labels is not None:
