@@ -123,6 +123,42 @@ def test_generator_megakernel_matches_folded_xla(rng):
     assert err.mean() < 1e-4
 
 
+def test_fold_generator_no_batchnorm(rng):
+    """g_batchnorm=False: the Dense head bias is already full-size
+    (s0*s0*c0) and block affines come from ConvT biases — folding used to
+    re-tile the head bias into an s0^2-times-too-long affine and KeyError
+    on the missing block 'bn', silently losing the Pallas path for all
+    no-BN generators (the 256px SN-D recipe's G is the BN case, but
+    model.g_batchnorm is a supported flag)."""
+    cfg = get_preset("dcgan_celeba64").override(
+        {"model.ngf": 16, "model.ndf": 16, "model.g_batchnorm": False})
+    g, _ = build_models(cfg.model, "fp32")
+    params, state = g.init(jax.random.PRNGKey(0))
+    (wh, ah, bh), blocks, (s0, c0) = pallas_gen.fold_generator(
+        g, params, state)
+    assert ah.shape == bh.shape == (s0 * s0 * c0,)
+    for w, a, b in blocks:
+        assert a.shape == b.shape == (w.shape[-1],)
+    # and the folded XLA math still reproduces the real eval forward
+    z = jnp.asarray(rng.standard_normal((4, cfg.model.nz)).astype(np.float32))
+    ref, _ = g.apply(params, state, z, train=False)
+
+    def xla_folded(zz):
+        h = jnp.dot(zz, wh, precision=jax.lax.Precision.HIGHEST)
+        h = h * ah + bh
+        x = jax.nn.relu(h).reshape(-1, s0, s0, c0)
+        for i, (w, a, b) in enumerate(blocks):
+            from tpugan.ops.convs import conv_transpose2d
+
+            y = conv_transpose2d(x, w, stride=2, padding=1, impl="xla")
+            y = y * a + b
+            x = jnp.tanh(y) if i == len(blocks) - 1 else jax.nn.relu(y)
+        return x
+
+    np.testing.assert_allclose(np.asarray(xla_folded(z)), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_megakernel_matches_eval_apply_close(rng):
     """Megakernel vs the real eval path at realistic weight scale."""
     cfg = get_preset("dcgan_celeba64").override(

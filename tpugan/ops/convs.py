@@ -58,7 +58,9 @@ def conv2d(x, w, *, stride: int, padding: int, impl: str | None = None):
 
         y = pallas_conv.conv2d(x, w, stride=stride, padding=padding)
         if y is not None:
-            return y
+            # the kernel accumulates and emits f32; match the XLA path's
+            # output dtype so callers see one contract across impls
+            return y.astype(x.dtype)
     # No preferred_element_type: the MXU accumulates bf16 convs in fp32
     # internally and rounds once on output, and a mixed-dtype cotangent in
     # the conv transpose rule breaks autodiff (f32 cotangent vs bf16 weight).
@@ -88,7 +90,7 @@ def conv_transpose2d(x, w, *, stride: int, padding: int,
 
         y = pallas_convt.conv_transpose2d(x, w, stride=stride, padding=padding)
         if y is not None:
-            return y
+            return y.astype(x.dtype)  # same contract as the XLA path
     k = w.shape[0]
     pad = k - 1 - padding
     if pad < 0:

@@ -21,16 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _act(x, act: str, leak: float):
-    if act == "relu":
-        return jax.nn.relu(x)
-    if act == "leaky_relu":
-        return jax.nn.leaky_relu(x, leak)
-    if act == "tanh":
-        return jnp.tanh(x)
-    if act == "none":
-        return x
-    raise ValueError(f"unknown act {act!r}")
+from tpugan.ops.kernel_common import act as _act  # noqa: E402
 
 
 def bn_affine(scale, bias, mean, var, eps: float):

@@ -27,14 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _act(y, act: str, leak: float):
-    if act == "relu":
-        return jax.nn.relu(y)
-    if act == "leaky_relu":
-        return jax.nn.leaky_relu(y, leak)
-    if act == "tanh":
-        return jnp.tanh(y)
-    return y
+from tpugan.ops.kernel_common import act as _act  # noqa: E402
 
 
 def _kernel(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, a_ref, b_ref,
@@ -63,7 +56,9 @@ def _vmem_bytes(bt, Hp, Wp, cin, cout, Ho, Wo, in_bytes=2):
     planes = 4 * bt * Hp * Wp * cin * in_bytes
     w = 16 * cin * cout * in_bytes
     acc = bt * Ho * Wo * cout * 4
-    out = bt * Ho * Wo * cout * in_bytes
+    # the bare hooks request f32 output tiles regardless of input dtype —
+    # account 4 bytes or a large shape can blow VMEM instead of falling back
+    out = bt * Ho * Wo * cout * 4
     return planes + w + acc + out
 
 

@@ -252,7 +252,13 @@ _probe_cache: Optional[bool] = None
 def _probe_cache_path() -> str:
     d = os.path.join(os.path.expanduser("~"), ".cache", "tpugan")
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, "conv_stats_probe")
+    # keyed by jax version + device kind: a toolchain upgrade or different
+    # accelerator must re-probe, not inherit a stale pass/fail verdict
+    try:
+        kind = jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:
+        kind = "unknown"
+    return os.path.join(d, f"conv_stats_probe_{jax.__version__}_{kind}")
 
 
 def probe_ok(timeout_s: float = 900.0) -> bool:
@@ -272,6 +278,7 @@ def probe_ok(timeout_s: float = 900.0) -> bool:
         with open(path) as f:
             _probe_cache = f.read().strip() == "pass"
         return _probe_cache
+    cache_result = True
     try:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC], capture_output=True,
@@ -279,9 +286,19 @@ def probe_ok(timeout_s: float = 900.0) -> bool:
             cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
         ok = "CONV_STATS_PROBE_PASS" in r.stdout
+        if not ok and "CONV_STATS_PROBE_MISMATCH" not in r.stdout:
+            # the subprocess died (worker fault) — a genuine kernel
+            # verdict, cache it; but an empty/odd exit with rc==0 is
+            # ambiguous, don't poison the cache
+            cache_result = r.returncode != 0
     except Exception:
+        # timeout / spawn failure: TRANSIENT (busy relay, OOM) — report
+        # fail for this process but never write it to disk, or one bad
+        # probe would disable the fused path machine-wide forever
         ok = False
-    with open(path, "w") as f:
-        f.write("pass" if ok else "fail")
+        cache_result = False
+    if cache_result:
+        with open(path, "w") as f:
+            f.write("pass" if ok else "fail")
     _probe_cache = ok
     return ok

@@ -40,19 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 # tap tables: phase parity -> [(kernel_index, input_offset)], offsets are
 # relative to i (output coarse index); input is pre-padded by 1 so offset -1
 # is in range.
-_TAPS = {0: [(1, 0), (3, -1)], 1: [(0, 1), (2, 0)]}
+from tpugan.ops.kernel_common import TAPS as _TAPS  # noqa: E402
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # ~16MB VMEM/core on v5e, leave headroom
 
 
-def _act(y, act: str, leak: float):
-    if act == "relu":
-        return jax.nn.relu(y)
-    if act == "leaky_relu":
-        return jax.nn.leaky_relu(y, leak)
-    if act == "tanh":
-        return jnp.tanh(y)
-    return y
+from tpugan.ops.kernel_common import act as _act  # noqa: E402
 
 
 def _kernel(x_ref, w_ref, a_ref, b_ref, out_ref, *, H, W, cin, cout,
@@ -92,7 +85,8 @@ def _vmem_bytes(bt, H, W, cin, cout, in_bytes=2):
     w = 16 * cin * cout * in_bytes
     acc = 4 * bt * H * W * cout * 4  # 4 f32 phases
     stack = 4 * bt * H * W * cout * 4  # f32 interleave temp
-    out = bt * 4 * H * W * cout * in_bytes
+    # f32 output tiles (the bare hooks request f32 regardless of input)
+    out = bt * 4 * H * W * cout * 4
     return x + w + acc + stack + out
 
 

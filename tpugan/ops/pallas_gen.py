@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpugan.ops.fused import bn_affine
 
-_TAPS = {0: [(1, 0), (3, -1)], 1: [(0, 1), (2, 0)]}
+from tpugan.ops.kernel_common import TAPS as _TAPS  # noqa: E402
 # The Mosaic default scoped-VMEM limit is 16MB; raising it to 64MB is
 # hardware-verified OK on this v5e (benchmarks/probe_mosaic.py bisect).
 # Budget conservatively below it — double buffering and relayout
@@ -99,24 +99,37 @@ def fold_generator(g, params, state, eps: float = 1e-5):
     head = params["head"]
     wh = head["dense"]["w"]  # (nz, s0*s0*c0)
     if g.head.bn is not None:
+        # per-channel BN affine -> tile over the s0*s0 pixels of the
+        # (s0, s0, c0)-flattened dense output
         a, b = bn_affine(head["bn"]["scale"], head["bn"]["bias"],
                          state["head"]["bn"]["mean"],
                          state["head"]["bn"]["var"], eps)
+        ah = jnp.tile(a, s0 * s0)
+        bh = jnp.tile(b, s0 * s0)
     else:
-        a = jnp.ones((c0,), jnp.float32)
-        b = head["dense"].get("b", jnp.zeros((c0,), jnp.float32))
-    # dense output layout is (s0, s0, c0) flattened -> tile affine over pixels
-    ah = jnp.tile(a, s0 * s0)
-    bh = jnp.tile(b, s0 * s0)
+        # no head BN (g_batchnorm=False): the Dense bias is ALREADY laid
+        # out over the full s0*s0*c0 output — tiling it again would build
+        # an (s0^2 * s0^2 * c0) affine and shape-error at trace time
+        ah = jnp.ones((s0 * s0 * c0,), jnp.float32)
+        b = head["dense"].get("b")
+        bh = (jnp.asarray(b, jnp.float32) if b is not None
+              else jnp.zeros((s0 * s0 * c0,), jnp.float32))
 
     blocks = []
     i = 0
     while f"block{i}" in params:
         blk = params[f"block{i}"]
         wb = blk["conv"]["w"]
-        ab, bb = bn_affine(blk["bn"]["scale"], blk["bn"]["bias"],
-                           state[f"block{i}"]["bn"]["mean"],
-                           state[f"block{i}"]["bn"]["var"], eps)
+        if "bn" in blk:
+            ab, bb = bn_affine(blk["bn"]["scale"], blk["bn"]["bias"],
+                               state[f"block{i}"]["bn"]["mean"],
+                               state[f"block{i}"]["bn"]["var"], eps)
+        else:
+            # no block BN: identity scale, ConvT bias as the affine shift
+            cb = wb.shape[-1]
+            ab = jnp.ones((cb,), jnp.float32)
+            bb = jnp.asarray(blk["conv"].get(
+                "b", jnp.zeros((cb,), jnp.float32)), jnp.float32)
         blocks.append((wb, ab, bb))
         i += 1
     fin = params["final"]

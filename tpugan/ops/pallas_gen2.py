@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpugan.ops.pallas_gen import fold_generator
 
 # tap tables: output parity d -> [(kernel index k, phase offset c)]
-_TAPS = {0: [(1, 0), (3, -1)], 1: [(0, 1), (2, 0)]}
+from tpugan.ops.kernel_common import TAPS as _TAPS  # noqa: E402
 
 _VMEM_LIMIT = 64 * 1024 * 1024
 _VMEM_BUDGET = 30 * 1024 * 1024

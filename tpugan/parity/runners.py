@@ -38,6 +38,13 @@ def parity_cfg(preset_cfg: Config, *, batch_size: int = 32, width: int = 32,
         "data.dataset": "synthetic", "data.synthetic_size": 512,
         "train.precision": "fp32", "train.steps_per_call": 1,
         "train.ema": 0.0,
+        # the torch twin runs the plain alternating reference loop: every
+        # algorithm-changing knob must be OFF or the harness compares two
+        # different algorithms (fused_prop shares one fake forward and
+        # never consumes z_g; augment/ADA transform what D sees;
+        # grad_accum changes BN's normalization granularity)
+        "train.fused_prop": False, "train.augment": "",
+        "train.ada_target": 0.0, "train.grad_accum": 1,
     })
 
 
@@ -102,12 +109,20 @@ def run_tpugan(cfg: Config, g, d, streams) -> Tuple[object, np.ndarray]:
     return state, np.asarray(losses)
 
 
-def _torch_d_loss(kind: str, r, f, torch):
+def _torch_d_loss(kind: str, r, f, torch, real_label=1.0, fake_label=0.0):
     F = torch.nn.functional
     if kind == "bce":
-        return (F.softplus(-r).mean() + F.softplus(f).mean())
+        # BCE-with-logits to target t: t*softplus(-x) + (1-t)*softplus(x)
+        # (mirrors losses/adversarial.py's _bce_with_target, incl. the
+        # one-sided real_label smoothing the tpugan D step honors)
+        real = (real_label * F.softplus(-r)
+                + (1.0 - real_label) * F.softplus(r)).mean()
+        fake = (fake_label * F.softplus(-f)
+                + (1.0 - fake_label) * F.softplus(f)).mean()
+        return real + fake
     if kind == "lsgan":
-        return 0.5 * (((r - 1.0) ** 2).mean() + (f ** 2).mean())
+        return 0.5 * (((r - real_label) ** 2).mean()
+                      + ((f - fake_label) ** 2).mean())
     if kind in ("wgan", "wgan_gp"):
         return f.mean() - r.mean()
     if kind == "hinge":
@@ -127,10 +142,20 @@ def _torch_g_loss(kind: str, f, torch):
 
 
 def _torch_gp(td, real, fake, alpha, torch):
-    """Mirror of losses/gradient_penalty.py, incl. the eps inside sqrt."""
+    """Mirror of losses/gradient_penalty.py, incl. the eps inside sqrt.
+
+    The interpolate forward runs in EVAL mode: tpugan's GP scores x_hat
+    with train=False on frozen D state (steps.py d_score), so a twin left
+    in train mode would normalize with batch stats and advance BN/SN
+    buffers — harness drift, not framework difference (matters only for
+    configs with BN/SN in D; the built-in wgan_gp preset has neither)."""
     a = torch.from_numpy(alpha)
     x_hat = (a * real + (1.0 - a) * fake).detach().requires_grad_(True)
+    was_training = td.training
+    td.eval()
     out = td(x_hat)
+    if was_training:
+        td.train()
     (grads,) = torch.autograd.grad(out.sum(), x_hat, create_graph=True)
     norms = torch.sqrt(
         grads.reshape(grads.shape[0], -1).pow(2).sum(1) + 1e-12)
@@ -162,7 +187,8 @@ def build_torch_twins(cfg: Config, state):
                                 batchnorm=m.g_batchnorm)
         td = TorchCondDiscriminator(m.image_size, m.channels, m.ndf,
                                     m.n_classes, m.embed_dim,
-                                    batchnorm=m.d_batchnorm)
+                                    batchnorm=m.d_batchnorm,
+                                    spectral_norm=m.d_spectral_norm)
         transplant_cond_g(pg, sg, tg)
         transplant_cond_d(pd, sd, td)
         return tg, td
@@ -221,7 +247,9 @@ def run_torch(cfg: Config, tg, td, streams) -> np.ndarray:
         fake = (tg(z_d, yfd) if cond else tg(z_d)).detach()
         out_real = td(x, y) if cond else td(x)
         out_fake = td(fake, yfd) if cond else td(fake)
-        loss_d = _torch_d_loss(kind, out_real, out_fake, torch)
+        loss_d = _torch_d_loss(kind, out_real, out_fake, torch,
+                               real_label=cfg.loss.real_label,
+                               fake_label=cfg.loss.fake_label)
         if kind == "wgan_gp":
             loss_d = loss_d + lambda_gp * _torch_gp(td, x, fake,
                                                     s["alpha"], torch)

@@ -186,13 +186,15 @@ class TorchCondDiscriminator(tnn.Module):
     """Mirror of CondDiscriminator (embed -> dense plane -> extra channel)."""
 
     def __init__(self, image_size: int, channels: int, ndf: int,
-                 n_classes: int, embed_dim: int = 50, batchnorm: bool = True):
+                 n_classes: int, embed_dim: int = 50, batchnorm: bool = True,
+                 spectral_norm: bool = False):
         super().__init__()
         self.image_size = image_size
         self.embed = tnn.Embedding(n_classes, embed_dim)
         self.proj = tnn.Linear(embed_dim, image_size * image_size)
         self.d = TorchDiscriminator(image_size, channels + 1, ndf,
-                                    batchnorm=batchnorm)
+                                    batchnorm=batchnorm,
+                                    spectral_norm=spectral_norm)
 
     def forward(self, x, y):
         s = self.image_size
