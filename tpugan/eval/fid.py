@@ -10,8 +10,22 @@ a deterministic proxy otherwise).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import scipy.linalg
+
+
+def _sqrtm(a: np.ndarray) -> np.ndarray:
+    # scipy <1.18 needs disp=False for the no-print path (and 1.17 warns
+    # that disp is deprecated); >=1.18 drops the argument entirely.
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", category=DeprecationWarning)
+        try:
+            m, _ = scipy.linalg.sqrtm(a, disp=False)
+        except TypeError:
+            m = scipy.linalg.sqrtm(a)
+    return m
 
 
 def fid_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
@@ -21,12 +35,11 @@ def fid_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
     sig_f = np.cov(feat_fake, rowvar=False)
 
     diff = mu_r - mu_f
-    covmean, _ = scipy.linalg.sqrtm(sig_r @ sig_f, disp=False)
+    covmean = _sqrtm(sig_r @ sig_f)
     if not np.isfinite(covmean).all():
         # regularize singular covariances
         offset = np.eye(sig_r.shape[0]) * eps
-        covmean, _ = scipy.linalg.sqrtm(
-            (sig_r + offset) @ (sig_f + offset), disp=False)
+        covmean = _sqrtm((sig_r + offset) @ (sig_f + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sig_r) + np.trace(sig_f)
