@@ -203,3 +203,41 @@ def test_import_torch_cli_round_trip(tmp_path, rng):
     with torch.no_grad():
         theirs = tg(torch.from_numpy(z)).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("preset", ["dcgan_cifar10", "sngan_cifar10"])
+def test_trained_twin_imports_exactly(preset):
+    """Migration of an actually-TRAINED reference model (the demo's claim,
+    benchmarks/migrate_torch_demo.py): after real torch training steps the
+    BN running stats and SN u buffers are the loop's, not an init's — the
+    imported generator must still be indistinguishable from the twin."""
+    from tpugan.parity.runners import (
+        build_torch_twins,
+        compare_final_generators,
+        make_streams,
+        parity_cfg,
+        run_torch,
+    )
+    from tpugan.train import create_train_state
+
+    cfg = parity_cfg(get_preset(preset), batch_size=16, width=16, nz=16)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state0 = create_train_state(cfg, g, d)
+    tg, td = build_torch_twins(cfg, state0)
+    streams, real = make_streams(cfg, 12, seed=5)
+    run_torch(cfg, tg, td, streams)
+
+    # training must have moved the BN running stats (or, for the SN
+    # discriminator, the u vectors) — otherwise this test is the same as
+    # the init-time one
+    sd_after = {k: v.numpy().copy() for k, v in tg.state_dict().items()}
+    moved = [k for k in sd_after if k.endswith("running_mean")
+             and float(np.abs(sd_after[k]).max()) > 1e-6]
+    assert moved, "torch training left every BN running_mean at zero"
+
+    state = import_torch_state(cfg, tg.state_dict(), td.state_dict(),
+                               step=12)
+    cmp = compare_final_generators(cfg, g, state, tg, real, n=128)
+    assert cmp["fid_cross"] < 1e-8, cmp
+    assert cmp["rel_delta"] < 1e-4, cmp
+    assert cmp["pixel_mae"] < 1e-5, cmp
