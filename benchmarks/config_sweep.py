@@ -58,8 +58,22 @@ def run_one(name: str, steps: int, synthetic_size: int = 2048,
     t0 = time.time()
     metrics = trainer.train()
     wall = time.time() - t0
-    r1 = evaluate(cfg, trainer.g, trainer._gen_params(),
-                  trainer.state.state_g, real_images=real)
+    if eval_every:
+        # the trainer's in-loop eval fires at the final step with the
+        # identical protocol (same seed/fid_n/reals) — reuse its last
+        # record instead of paying a redundant full evaluation
+        r1 = None
+        with open(os.path.join(cfg.train.out_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "fid" in rec and "kid" in rec:
+                    r1 = rec
+        if r1 is None:
+            raise RuntimeError(f"{name}: no eval record in metrics.jsonl "
+                               "despite eval_every being set")
+    else:
+        r1 = evaluate(cfg, trainer.g, trainer._gen_params(),
+                      trainer.state.state_g, real_images=real)
     row = {
         "config": name, "steps": steps, "wall_s": round(wall, 1),
         "images_per_sec": round(metrics["images_per_sec"], 1),
@@ -72,14 +86,9 @@ def run_one(name: str, steps: int, synthetic_size: int = 2048,
     }
     if eval_every:
         best_fid, best_step = r1["fid"], steps
-        try:
-            with open(os.path.join(cfg.train.ckpt_dir, "best",
-                                   "best_fid.json")) as f:
-                meta = json.load(f)
-            if meta["fid"] < best_fid:
-                best_fid, best_step = float(meta["fid"]), int(meta["step"])
-        except (FileNotFoundError, KeyError, ValueError):
-            pass
+        meta = trainer._load_best_meta()  # the watermark's one schema reader
+        if meta is not None and meta["fid"] < best_fid:
+            best_fid, best_step = meta["fid"], meta["step"]
         row.update(fid_proxy_best=round(best_fid, 5), best_step=best_step,
                    best_improvement_x=round(r0["fid"] / max(best_fid, 1e-9),
                                             1))

@@ -63,6 +63,7 @@ def main() -> None:
         compare_final_generators,
         make_streams,
         parity_cfg,
+        run_torch,
     )
     from tpugan.train import Trainer, TrainState, create_train_state
 
@@ -79,7 +80,6 @@ def main() -> None:
     log(f"[migrate] training the torch twin for {args.torch_steps} steps "
         "(the reference loop) ...")
     t0 = time.time()
-    from tpugan.parity.runners import run_torch
     run_torch(cfg, tg, td, streams)
     torch_wall = time.time() - t0
 

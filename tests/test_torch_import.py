@@ -227,13 +227,16 @@ def test_trained_twin_imports_exactly(preset):
     streams, real = make_streams(cfg, 12, seed=5)
     run_torch(cfg, tg, td, streams)
 
-    # training must have moved the BN running stats (or, for the SN
-    # discriminator, the u vectors) — otherwise this test is the same as
-    # the init-time one
-    sd_after = {k: v.numpy().copy() for k, v in tg.state_dict().items()}
-    moved = [k for k in sd_after if k.endswith("running_mean")
-             and float(np.abs(sd_after[k]).max()) > 1e-6]
+    # training must have moved the buffers the import claims to carry —
+    # G's BN running stats, and for the SN discriminator the u vectors —
+    # otherwise this test is the same as the init-time one
+    moved = [k for k, v in tg.state_dict().items()
+             if k.endswith("running_mean")
+             and float(v.abs().max()) > 1e-6]
     assert moved, "torch training left every BN running_mean at zero"
+    if cfg.model.d_spectral_norm:
+        u = [k for k in td.state_dict() if k.endswith(".u")]
+        assert u, "SN discriminator has no power-iteration u buffers"
 
     state = import_torch_state(cfg, tg.state_dict(), td.state_dict(),
                                step=12)
@@ -241,3 +244,15 @@ def test_trained_twin_imports_exactly(preset):
     assert cmp["fid_cross"] < 1e-8, cmp
     assert cmp["rel_delta"] < 1e-4, cmp
     assert cmp["pixel_mae"] < 1e-5, cmp
+
+    # the discriminator side of the migration (trained weights + buffers,
+    # incl. the power-iteration u the SN variant's sigma depends on)
+    td.eval()
+    rng = np.random.default_rng(3)
+    x = real[rng.integers(0, len(real), 16)]
+    ours_d, _ = d.apply(state.params_d, state.state_d, jnp.asarray(x),
+                        train=False)
+    with torch.no_grad():
+        theirs_d = td(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(ours_d), theirs_d,
+                               rtol=1e-4, atol=2e-4)

@@ -231,14 +231,22 @@ class Trainer:
     def _best_meta_path(self) -> str:
         return os.path.join(self.cfg.train.ckpt_dir, "best", "best_fid.json")
 
-    def _load_best_watermark(self):
+    def _load_best_meta(self):
+        """The banked keep_best watermark as {'fid', 'step'}, or None.
+        The one reader of the watermark file's schema — external consumers
+        (e.g. benchmarks/config_sweep.py) go through this, not the path."""
         import json
 
         try:
             with open(self._best_meta_path()) as f:
-                return float(json.load(f)["fid"])
-        except (FileNotFoundError, KeyError, ValueError):
+                meta = json.load(f)
+            return {"fid": float(meta["fid"]), "step": int(meta["step"])}
+        except (FileNotFoundError, KeyError, ValueError, TypeError):
             return None
+
+    def _load_best_watermark(self):
+        meta = self._load_best_meta()
+        return None if meta is None else meta["fid"]
 
     def _save_best_watermark(self, step: int, fid: float) -> None:
         import json
