@@ -77,3 +77,36 @@ def test_torch_state_dict_converter():
     for (path, cin, cout, kh, kw) in inception._conv_defs():
         assert out[path]["w"].shape == (kh, kw, cin, cout), path
     assert out["fc"]["w"].shape == (2048, inception.N_LOGITS)
+
+
+@pytest.mark.slow
+def test_public_evaluate_with_inception_backend(params, tmp_path):
+    """The day trained weights appear, the protocol is: convert-inception,
+    set eval.inception_weights + eval.metric=inception, call evaluate()
+    (ROADMAP backlog #1).  This pins that path end to end through the
+    public API — random weights make the number meaningless, but the
+    plumbing (resize to 299, feature/logit extraction, FID's singular-
+    covariance regularization at tiny n, IS splits clamp) is the product."""
+    from tpugan.configs import get_preset
+    from tpugan.eval import evaluate
+    from tpugan.models import build_models
+    from tpugan.train import create_train_state
+
+    path = str(tmp_path / "inception.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, params), f)
+
+    cfg = get_preset("dcgan_cifar10").override({
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8,
+        "data.dataset": "synthetic", "data.synthetic_size": 16,
+        "train.precision": "fp32",
+        "eval.metric": "inception", "eval.inception_weights": path,
+        "eval.fid_n": 4, "eval.fid_batch": 2})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    real = np.random.default_rng(0).uniform(
+        -1, 1, (6, 32, 32, 3)).astype(np.float32)
+    scores = evaluate(cfg, g, state.params_g, state.state_g,
+                      real_images=real)
+    for k in ("fid", "kid", "is_mean"):
+        assert np.isfinite(scores[k]), (k, scores)
