@@ -114,3 +114,29 @@ def test_bf16_layers_fp32_params(rng):
     yb, ns = bn.apply(bp, bs, y, train=True)
     assert yb.dtype == jnp.bfloat16
     assert ns["mean"].dtype == jnp.float32 and ns["var"].dtype == jnp.float32
+
+
+def test_batchnorm_near_constant_channel_no_nan():
+    """E[x²]−E[x]² cancels below −eps in fp32 for a near-constant channel
+    at magnitude ~31.6 (measured: −3.9e-3); unclamped, rsqrt(var+eps)
+    returns NaN and poisons the step.  The clamp keeps it at exactly 0."""
+    bn = BatchNorm(1, dtype=jnp.float32)
+    params, state = bn.init(jax.random.PRNGKey(0))
+    x = np.full((8, 16, 16, 1), 31.6227, np.float32)
+    x[0, 0, 0, 0] += 1e-4
+    y, new_state = bn.apply(params, state, jnp.asarray(x), train=True)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert float(new_state["var"][0]) >= 0.0
+
+
+def test_fused_conv_stats_var_clamped_nonnegative():
+    """Same cancellation guard on the fused conv+BN-stats path."""
+    from tpugan.ops.pallas_conv_stats import _xla_conv_stats
+
+    x = np.zeros((4, 8, 8, 2), np.float32)
+    w = np.zeros((4, 4, 2, 3), np.float32)
+    w[0, 0, 0, 0] = 31.6227 / 8.0  # near-constant conv output channel
+    x[..., 0] = 8.0
+    x[0, 0, 0, 0] += 1e-3
+    _, _, var = _xla_conv_stats(jnp.asarray(x), jnp.asarray(w))
+    assert np.all(np.asarray(var) >= 0.0)

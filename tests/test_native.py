@@ -37,3 +37,20 @@ def test_fallback_path_noncontiguous(rng):
     idx = np.arange(10, dtype=np.int64)
     out = native.batch_gather(view, idx)
     np.testing.assert_array_equal(out, view[idx])
+
+
+def test_batch_gather_rejects_out_of_range(rng):
+    """Both paths share numpy's bounds contract: the C++ path must raise
+    (it would otherwise memcpy from unowned memory) and so must the
+    fallback."""
+    imgs = rng.integers(0, 256, size=(10, 4, 4, 1)).astype(np.uint8)
+    for bad in (np.array([0, 10], np.int64), np.array([-11], np.int64)):
+        with pytest.raises(IndexError):
+            native.batch_gather(imgs, bad)
+
+
+def test_batch_gather_negative_indices_wrap_like_numpy(rng):
+    imgs = rng.integers(0, 256, size=(10, 4, 4, 1)).astype(np.uint8)
+    idx = np.array([-1, -10, 3], np.int64)
+    out = native.batch_gather(imgs, idx)
+    np.testing.assert_array_equal(out, imgs[np.array([9, 0, 3])])

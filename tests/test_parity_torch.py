@@ -279,7 +279,7 @@ def test_sn_sigma_matches_torch_builtin(rng):
     conv = SpectralNorm(Conv(8, 16, 4, 2, 1, use_bias=False,
                              dtype=jnp.float32), n_iter=50)
     params, state = conv.init(jax.random.PRNGKey(0))
-    sigma_ours, _ = conv._sigma(params["w"], state["u"])
+    sigma_ours, _ = conv._sigma(params["w"], state["u"], conv.n_iter)
 
     tconv = torch.nn.Conv2d(8, 16, 4, 2, 1, bias=False)
     with torch.no_grad():

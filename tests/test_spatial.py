@@ -378,3 +378,18 @@ def test_evaluate_spatial_sharded(rng):
     real = rng.integers(0, 256, size=(8, 64, 64, 3)).astype(np.uint8)
     scores = evaluate(cfg, g, params, state, seed=0, real_images=real)
     assert np.isfinite(scores["fid"])
+
+
+def test_sampler_rejects_insufficient_devices_for_spatial_shards():
+    """The standalone spatial Sampler must not silently shard over fewer
+    devices than cfg.train.spatial_shards (a smaller mesh changes sharding
+    and can OOM the model that needed the full split)."""
+    import pytest as _pytest
+
+    from tpugan.sample import Sampler
+
+    cfg, g, _ = _models(256)
+    params, state = g.init(jax.random.PRNGKey(0))
+    cfg16 = cfg.override({"train.spatial_shards": 16})  # only 8 visible
+    with _pytest.raises(ValueError, match="spatial_shards"):
+        Sampler(cfg16, g, params, state).sample(2, seed=0)

@@ -93,3 +93,30 @@ def test_double_backward_through_spectral_norm(rng):
     gg = jax.grad(inner_grad_norm)(params)["w"]
     assert np.all(np.isfinite(np.asarray(gg)))
     assert float(jnp.sum(jnp.abs(gg))) > 0
+
+
+def test_eval_sigma_uses_stored_u_without_iteration(rng):
+    """Reference eval semantics (torch spectral_norm's
+    do_power_iteration=module.training): eval computes σ from the stored u
+    as-is — no power iteration.  With an unconverged u the two differ, so
+    iterating in eval would silently diverge from the torch twin."""
+    d_in, d_out = 16, 8
+    w = rng.standard_normal((d_in, d_out)).astype(np.float32)
+    layer = SpectralNorm(Dense(d_in, d_out, use_bias=False,
+                               dtype=jnp.float32))
+    params, state = layer.init(jax.random.PRNGKey(3))
+    params = {"w": jnp.asarray(w)}
+    x = jnp.eye(d_in, dtype=jnp.float32)
+
+    y_eval, _ = layer.apply(params, state, x, train=False)
+    # closed form from the STORED u: v = normalize(W u); sigma = v.(W u)
+    u0 = np.asarray(state["u"])
+    wu = w @ u0
+    v = wu / np.sqrt((wu ** 2).sum() + 1e-12)
+    sigma_stored = float(v @ (w @ u0))
+    np.testing.assert_allclose(np.asarray(y_eval), w / sigma_stored,
+                               rtol=1e-5)
+
+    # train-mode forward from the same state iterates first -> different σ
+    y_train, _ = layer.apply(params, state, x, train=True)
+    assert not np.allclose(np.asarray(y_eval), np.asarray(y_train))

@@ -481,3 +481,12 @@ def test_grad_accum_rejects_bad_combos():
     g2, d2 = build_models(cfg2.model, cfg2.train.precision)
     with pytest.raises(ValueError, match="grad_accum requires fused_prop"):
         build_train_step(cfg2, g2, d2)
+
+
+def test_label_smoothing_rejected_for_labelless_losses():
+    """wgan/wgan_gp/hinge have no label targets; configuring smoothing
+    with them must fail fast, not silently no-op."""
+    cfg = get_preset("wgan_gp_cifar10").override({"loss.real_label": 0.9})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    with pytest.raises(ValueError, match="label"):
+        build_train_step(cfg, g, d)

@@ -27,12 +27,15 @@ def _load():
     _TRIED = True
     here = os.path.dirname(__file__)
     so = os.path.join(here, "libtpugan_imageops.so")
-    if not os.path.exists(so):
-        try:
-            from tpugan.native.build_native import build
+    try:
+        # build() is mtime-guarded: a no-op when the .so is current, a
+        # rebuild when imageops.cpp changed (loading a stale binary would
+        # silently ignore source edits), a fresh build when absent.
+        from tpugan.native.build_native import build
 
-            build()
-        except Exception:
+        build()
+    except Exception:
+        if not os.path.exists(so):  # no toolchain and no binary: fallback
             return None
     try:
         lib = ctypes.CDLL(so)
@@ -61,12 +64,20 @@ def batch_gather(images: np.ndarray, idx: np.ndarray,
     assert images.dtype == np.uint8 and images.ndim == 4
     idx = np.ascontiguousarray(idx, np.int64)
     n = len(idx)
-    _, h, w, c = images.shape
+    n_img, h, w, c = images.shape
+    # One bounds contract for both paths: numpy semantics (negatives wrap,
+    # out-of-range raises).  Without this the C++ path would read unowned
+    # memory where the numpy fallback raises IndexError.
+    if n and (idx.min() < -n_img or idx.max() >= n_img):
+        raise IndexError(
+            f"batch_gather index out of range for {n_img} images: "
+            f"[{idx.min()}, {idx.max()}]")
+    if n and idx.min() < 0:
+        idx = idx % n_img
     lib = _load()
     if lib is None or not images.flags.c_contiguous:
-        out = images[idx]
+        out = images[idx]  # fancy indexing: already a fresh writable array
         if flip is not None:
-            out = out.copy()
             sel = flip.astype(bool)
             out[sel] = out[sel, :, ::-1, :]
         return out

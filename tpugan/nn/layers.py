@@ -175,7 +175,10 @@ class BatchNorm(Module):
         red = tuple(range(x.ndim - 1))  # all but channels
         if train:
             mean = jnp.mean(xf, axis=red)
-            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            # E[x²]−E[x]² can land slightly negative for near-constant
+            # channels (fp32 cancellation); rsqrt would then yield NaN.
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean), 0.0)
             n = 1
             for a in red:
                 n *= x.shape[a]

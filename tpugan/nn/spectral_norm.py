@@ -49,11 +49,11 @@ class SpectralNorm(Module):
         u = _l2_normalize(jax.random.normal(k_u, (cout,), jnp.float32))
         return params, {**state, "u": u}
 
-    def _sigma(self, w, u):
+    def _sigma(self, w, u, n_iter: int):
         # HWIO (or DI) weight -> matrix (d, cout); u approximates the top
         # right-singular direction in R^cout.
         w_mat = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
-        for _ in range(self.n_iter):
+        for _ in range(n_iter):
             v = _l2_normalize(w_mat @ u)               # (d,)
             u = _l2_normalize(w_mat.T @ v)             # (cout,)
         u = lax.stop_gradient(u)
@@ -63,7 +63,11 @@ class SpectralNorm(Module):
 
     def apply(self, params, state, x, *, train: bool = False):
         u = state["u"]
-        sigma, u_new = self._sigma(params["w"], u)
+        # Reference eval-mode semantics (torch spectral_norm's
+        # do_power_iteration=module.training): the power iteration runs in
+        # TRAINING forwards only; eval computes σ from the stored u as-is.
+        sigma, u_new = self._sigma(params["w"], u,
+                                   self.n_iter if train else 0)
         normed = dict(params)
         normed["w"] = params["w"] / sigma
         inner_state = {k: v for k, v in state.items() if k != "u"}

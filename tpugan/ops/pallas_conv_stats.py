@@ -132,7 +132,8 @@ def conv_stats(x, w, *, out_dtype=None
     y, stats = _dispatch(x, w, jnp.dtype(out_dtype))
     count = n * (H // 2) * (Wd // 2)
     mean = stats[0] / count
-    var = stats[1] / count - jnp.square(mean)
+    # clamp fp32 cancellation on near-constant channels (rsqrt NaN guard)
+    var = jnp.maximum(stats[1] / count - jnp.square(mean), 0.0)
     return y, mean, var
 
 
@@ -161,7 +162,9 @@ def _xla_conv_stats(x, w):
     y = _xla_conv421(x, w)
     yf = y.astype(jnp.float32)
     mean = jnp.mean(yf, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+    # clamp fp32 cancellation on near-constant channels (rsqrt NaN guard)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean), 0.0)
     return y, mean, var
 
 

@@ -66,7 +66,8 @@ def _sn_normalize(x):
 class _SNBase(tnn.Module):
     """Spectral norm mirroring tpugan.nn.spectral_norm.SpectralNorm exactly:
     same w_mat orientation (d, cout), same iteration order, same final
-    σ = v·(W u) with u,v constant, same persist-only-in-training rule.
+    σ = v·(W u) with u,v constant, same iterate-only-in-training rule
+    (eval computes σ from the stored u with no power iteration).
     (torch's builtin ``nn.utils.spectral_norm`` computes σ = ‖Wᵀv‖ from the
     pre-update v — equivalent at convergence but not bit-identical, which
     matters for multi-step trajectory parity.)"""
@@ -84,9 +85,9 @@ class _SNBase(tnn.Module):
         u = self.u
         with torch.no_grad():
             wm = w_mat.detach()
-            v = _sn_normalize(wm @ u)
-            u = _sn_normalize(wm.t() @ v)
-            if self.training:
+            if self.training:  # power-iterate in training forwards only
+                v = _sn_normalize(wm @ u)
+                u = _sn_normalize(wm.t() @ v)
                 self.u.copy_(u)
             v = _sn_normalize(wm @ u)
         sigma = v @ (w_mat @ u)  # u, v constants; dσ/dW = v uᵀ

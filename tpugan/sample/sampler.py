@@ -78,7 +78,14 @@ def _build_sample_fn(cfg: Config, g: Module):
         if _sp._CTX.mesh is not None:  # reuse the Trainer's mesh/axis
             _mesh, _axis, _dim = _sp._CTX.mesh, _sp._CTX.axis, _sp._CTX.dim
         else:  # standalone (CLI sample/eval): own 1-D space mesh
-            devs = jax.devices()[:cfg.train.spatial_shards]
+            devs = jax.devices()
+            if len(devs) < cfg.train.spatial_shards:
+                raise ValueError(
+                    f"train.spatial_shards={cfg.train.spatial_shards} but "
+                    f"only {len(devs)} device(s) are visible — a silently "
+                    f"smaller mesh would change sharding (and can OOM a "
+                    f"model that needs the full split)")
+            devs = devs[:cfg.train.spatial_shards]
             _mesh, _axis, _dim = _Mesh(_np.array(devs), ("space",)), \
                 "space", 1
 

@@ -108,6 +108,15 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
             f"saturates under lsgan and is uncalibrated for wgan, so p "
             f"would ramp to 1.0 regardless of overfitting — use fixed-p "
             f"DiffAugment (train.augment without ada_target) instead")
+    if cfg.loss.kind in ("wgan", "wgan_gp", "hinge") and (
+            cfg.loss.real_label != 1.0 or cfg.loss.fake_label != 0.0):
+        # These objectives have no label targets — silently ignoring a
+        # configured smoothing (the bce/lsgan knob) would be a no-op the
+        # user can't see.
+        raise ValueError(
+            f"loss.real_label/fake_label have no effect under "
+            f"{cfg.loss.kind!r} (no label targets in that objective); "
+            f"label smoothing applies to bce/lsgan only")
 
     def _aug(x, k, p):
         return apply_policy(x, k, policy, 1.0 if p is None else p)
