@@ -117,3 +117,21 @@ def test_restore_cross_topology_fallback(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(state.params_g)),
                     jax.tree.leaves(restored["params_g"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_json_written_atomically(tmp_path):
+    """The self-describing config.json lands via tmp+rename (one writer,
+    never a torn file) and leaves no .tmp behind."""
+    import json as _json
+    import os as _os
+
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.configs import get_preset
+
+    cfg = get_preset("dcgan_mnist")
+    mgr = CheckpointManager(str(tmp_path / "c"), async_save=False)
+    mgr.save(0, {"x": np.zeros(2, np.float32)}, cfg.to_json())
+    mgr.close()
+    path = tmp_path / "c" / "config.json"
+    assert path.exists() and not _os.path.exists(str(path) + ".tmp")
+    assert _json.loads(path.read_text())["name"] == "dcgan_mnist"

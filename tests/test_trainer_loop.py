@@ -114,3 +114,83 @@ def test_fast_preset_flag_combination(tmp_path):
         out_dir=str(tmp_path / "out")))
     m = Trainer(cfg).train()
     assert np.isfinite(m["loss_d"]) and np.isfinite(m["loss_g"])
+
+
+def test_log_every_zero_means_off(tmp_path):
+    """log_every=0 disables logging (like sample/eval/ckpt_every=0)
+    instead of crashing with ZeroDivisionError at the first dispatch."""
+    cfg = _cfg(str(tmp_path), **{"train.log_every": 0,
+                                 "train.total_steps": 4,
+                                 "train.sample_every": 0,
+                                 "train.ckpt_every": 0})
+    Trainer(cfg).train()
+    path = os.path.join(cfg.train.out_dir, "metrics.jsonl")
+    # the logger opens the file eagerly; "off" means zero rows logged
+    assert not os.path.exists(path) or os.path.getsize(path) == 0
+
+
+def test_total_steps_must_divide_by_steps_per_call(tmp_path):
+    """A partial last dispatch would silently overshoot total_steps by up
+    to k-1 optimizer updates — rejected at construction."""
+    cfg = _cfg(str(tmp_path), **{"train.steps_per_call": 5,
+                                 "data.device_resident": True})
+    with pytest.raises(ValueError, match="steps_per_call"):
+        Trainer(cfg)  # 24 % 5 != 0
+
+
+def test_epoch_sampling_rejects_int32_overflow_horizon(tmp_path):
+    """step*batch_size is computed in on-device int32; a horizon that
+    overflows it must fail fast, not silently corrupt the permutation."""
+    cfg = _cfg(str(tmp_path), **{"data.sampling": "epoch",
+                                 "data.device_resident": True,
+                                 "train.total_steps": 2 ** 25,
+                                 "data.batch_size": 128})
+    with pytest.raises(ValueError, match="int32"):
+        Trainer(cfg)
+
+
+def test_trainer_rejects_insufficient_devices_for_spatial_shards(tmp_path):
+    """Pure-spatial Trainer mesh must fail like make_mesh instead of
+    silently building a smaller mesh (double per-shard HBM footprint)."""
+    cfg = _cfg(str(tmp_path), **{"train.spatial_shards": 16})
+    with pytest.raises(ValueError, match="spatial_shards"):
+        Trainer(cfg)
+
+
+def test_fuse_stats_mode_reasserted_at_train_time(tmp_path):
+    """fuse_stats is a process-global TRACE-time switch; constructing a
+    second Trainer must not flip the mode under the first one's train()
+    (the step traces at its first dispatch, not in __init__)."""
+    from tpugan import ops
+
+    cfg_on = _cfg(str(tmp_path) + "/a", **{"train.fuse_stats": "on",
+                                           "train.total_steps": 2,
+                                           "train.log_every": 2,
+                                           "train.sample_every": 0,
+                                           "train.ckpt_every": 0})
+    cfg_off = _cfg(str(tmp_path) + "/b", **{"train.fuse_stats": "off"})
+    a = Trainer(cfg_on)
+    Trainer(cfg_off)  # flips the global to 'off' pre-trace
+    assert not ops.fuse_stats_enabled()
+    a.train()  # must re-assert 'on' before its first trace
+    assert ops.fuse_stats_enabled()
+
+
+def test_conditional_training_rejects_all_zero_labels(tmp_path):
+    """Dataset loaders fall back to zero labels when the label file is
+    missing; a conditional model trained on that is silently garbage —
+    the Trainer must reject it."""
+    cfg = get_preset("cdcgan_celeba64").override({
+        "data.dataset": "synthetic", "data.batch_size": 8,
+        "data.synthetic_size": 32, "model.ngf": 8, "model.ndf": 8,
+        "model.nz": 8, "model.image_size": 32, "train.precision": "fp32",
+        "train.total_steps": 2, "train.log_every": 2,
+        "train.sample_every": 0, "train.ckpt_every": 0})
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckpt_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out")))
+    n = 32
+    data = {"images": np.zeros((n, 32, 32, 3), np.uint8),
+            "labels": np.zeros(n, np.int32)}
+    with pytest.raises(ValueError, match="labels are all zero"):
+        Trainer(cfg, data=data).train()

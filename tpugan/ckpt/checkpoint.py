@@ -62,9 +62,16 @@ class CheckpointManager:
                 self.mgr.delete(step)
         self.mgr.save(step, args=ocp.args.StandardSave(state))
         self._last_saved_step = step
-        if config_json:
-            with open(os.path.join(self.directory, "config.json"), "w") as f:
+        if config_json and jax.process_index() == 0:
+            # checkpoint saves run on ALL processes in multi-host runs
+            # (orbax coordinates the array writes itself) — the JSON side
+            # file must have ONE writer, and an atomic rename so a reader
+            # or crash never sees a torn file
+            path = os.path.join(self.directory, "config.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
                 f.write(config_json)
+            os.replace(tmp, path)
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()

@@ -99,6 +99,28 @@ class Trainer:
             raise ValueError(
                 "train.fsdp_shards and train.spatial_shards both claim "
                 "the second mesh axis; choose one")
+        if (cfg.train.steps_per_call > 1
+                and cfg.train.total_steps % cfg.train.steps_per_call):
+            # the scan length is compiled in, so a partial last dispatch
+            # would silently OVERSHOOT total_steps by up to k-1 optimizer
+            # updates — sweeps comparing configs at a fixed budget must
+            # compare equal step counts
+            raise ValueError(
+                f"train.total_steps={cfg.train.total_steps} is not a "
+                f"multiple of train.steps_per_call="
+                f"{cfg.train.steps_per_call}; the compiled scan advances "
+                f"k steps per dispatch, so the run would overshoot — "
+                f"round total_steps or change steps_per_call")
+        if (cfg.data.sampling == "epoch"
+                and (cfg.train.total_steps + 1) * cfg.data.batch_size
+                >= 2 ** 31):
+            raise ValueError(
+                f"sampling='epoch' computes run positions as "
+                f"step*batch_size in on-device int32; total_steps="
+                f"{cfg.train.total_steps} x batch_size="
+                f"{cfg.data.batch_size} overflows 2^31 and would silently "
+                f"corrupt the epoch permutation — use "
+                f"sampling='replacement' for runs this long")
         if (cfg.data.device_resident and cfg.train.spatial_shards > 0
                 and jax.process_count() > 1):
             raise ValueError(
@@ -118,8 +140,10 @@ class Trainer:
         # unfused jnp.mean path gets from XLA for free.
         from tpugan import ops
 
-        ops.set_fuse_stats("off" if (mesh is not None and len(mesh.devices.flat) > 1)
+        self._fuse_mode = ("off" if (mesh is not None
+                                     and len(mesh.devices.flat) > 1)
                            else cfg.train.fuse_stats)
+        ops.set_fuse_stats(self._fuse_mode)
         self.g, self.d = build_models(cfg.model, cfg.train.precision)
         self.state: TrainState = create_train_state(cfg, self.g, self.d)
         self.mesh = mesh
@@ -163,7 +187,14 @@ class Trainer:
 
             from tpugan.parallel.spatial import set_spatial_mesh
 
-            devs = jax.devices()[:cfg.train.spatial_shards]
+            devs = jax.devices()
+            if len(devs) < cfg.train.spatial_shards:
+                raise ValueError(
+                    f"train.spatial_shards={cfg.train.spatial_shards} but "
+                    f"only {len(devs)} device(s) are visible — refusing to "
+                    f"build a silently smaller mesh (per-shard extent and "
+                    f"HBM footprint would double); fail like make_mesh")
+            devs = devs[:cfg.train.spatial_shards]
             self.spatial_mesh = Mesh(_np.array(devs), ("space",))
             set_spatial_mesh(self.spatial_mesh)
         # FSDP: shard params + optimizer moments over a second 'model'
@@ -294,6 +325,21 @@ class Trainer:
                       f"or use a fresh ckpt_dir to avoid mixed checkpoints")
 
         data = self._dataset()
+        if cfg.model.arch == "cdcgan" and cfg.model.n_classes > 1:
+            # The dataset loaders fall back to all-zero labels when the
+            # label file is absent (MNIST labels idx, CelebA
+            # list_attr_celeba.txt) — fine for unconditional training,
+            # garbage for a conditional model: every real image would be
+            # class 0 while y_fake is uniform over n_classes.
+            lab = data.get("labels")
+            lab = np.asarray(lab) if lab is not None else np.empty(0)
+            if lab.size and int(lab.max()) == 0:
+                raise ValueError(
+                    "conditional training (model.arch='cdcgan', "
+                    f"n_classes={cfg.model.n_classes}) but the dataset's "
+                    "labels are all zero — label file missing? (MNIST: "
+                    "train-labels-idx1-ubyte[.gz]; CelebA: "
+                    "list_attr_celeba.txt)")
         k_steps = max(cfg.train.steps_per_call, 1)
         spatial_sh = None
         if self.spatial_mesh is not None:
@@ -420,6 +466,14 @@ class Trainer:
             from tpugan.parallel.spatial import set_spatial_mesh
 
             set_spatial_mesh(self.spatial_mesh)
+        # Re-assert the fused-stats mode too: it is the same kind of
+        # process-global TRACE-time switch, and the step traces at its
+        # first dispatch below — a second Trainer constructed in the
+        # meantime must not flip this trainer's step into the wrong mode
+        # (the fused path has no cross-replica BN reduction).
+        from tpugan import ops as _ops
+
+        _ops.set_fuse_stats(self._fuse_mode)
         try:
             # steps advanced per dispatch (scan-fused)
             k = k_steps
@@ -442,7 +496,9 @@ class Trainer:
                 pending = metrics
 
                 step_no = i + k
-                if step_no % cfg.train.log_every < k or step_no >= total_steps:
+                if cfg.train.log_every and (
+                        step_no % cfg.train.log_every < k
+                        or step_no >= total_steps):
                     host = {k: float(v) for k, v in
                             jax.device_get(pending).items()}
                     dt = time.perf_counter() - t0
