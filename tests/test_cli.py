@@ -79,3 +79,15 @@ def test_profile_conditional_preset(capsys):
                   "--set", "train.precision=fp32", "--iters", "1")
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["flops_per_step"] > 1e6 and rec["ms_per_step"] > 0
+
+
+def test_override_name_and_optional_unset():
+    """--set name=... must stick (it used to be silently discarded), and
+    'none' on an Optional field unsets it instead of leaving the string."""
+    from tpugan.configs import get_preset
+
+    cfg = get_preset("dcgan_mnist")
+    assert cfg.override({"name": "myrun"}).name == "myrun"
+    c2 = cfg.override({"train.mesh_shape": "4"})
+    assert c2.train.mesh_shape == 4
+    assert c2.override({"train.mesh_shape": "none"}).train.mesh_shape is None

@@ -131,3 +131,28 @@ def test_prdc_requires_enough_samples():
 
     with pytest.raises(ValueError):
         prdc_from_features(np.zeros((4, 3)), np.zeros((10, 3)), k=5)
+
+
+def test_prdc_chunked_matches_unchunked():
+    """Row-chunking is a memory optimization only: every chunk size yields
+    the identical four metrics (same float64 per-row arithmetic)."""
+    from tpugan.eval.fid import prdc_from_features
+
+    rng = np.random.default_rng(2)
+    real = rng.normal(size=(64, 8))
+    fake = rng.normal(size=(48, 8)) + 0.5
+    a = prdc_from_features(real, fake, k=3, chunk=7)
+    b = prdc_from_features(real, fake, k=3, chunk=4096)
+    assert a == b
+
+
+def test_kid_rejects_single_sample():
+    """The unbiased within-set term divides by m*(m-1): m=1 must be a clear
+    ValueError, not a ZeroDivisionError deep inside evaluate()."""
+    import pytest
+
+    from tpugan.eval.fid import kid_from_features
+
+    f = np.random.default_rng(0).standard_normal((1, 8))
+    with pytest.raises(ValueError, match="at least 2"):
+        kid_from_features(f, f)

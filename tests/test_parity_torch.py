@@ -381,3 +381,37 @@ def test_rmsprop_matches_torch_exactly():
 
     np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_twins_resolve_default_embed_dim():
+    """model.embed_dim=0 means 'default 50' (registry rule): the torch twins
+    must resolve it the same way — a verbatim 0 built Embedding(n, 0) and
+    crashed the weight transplant on a shape mismatch."""
+    from tpugan.configs import get_preset
+    from tpugan.parity.runners import build_torch_twins, parity_cfg
+    from tpugan.train import create_train_state
+
+    cfg = parity_cfg(get_preset("cdcgan_celeba64"), batch_size=8,
+                     width=16, nz=16).override(
+        {"model.image_size": 32, "model.embed_dim": 0})
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    tg, td = build_torch_twins(cfg, state)
+    assert tg.embed.embedding_dim == 50
+    assert td.embed.embedding_dim == 50
+
+
+def test_cdcgan_wgan_gp_trajectory_matches_torch():
+    """Conditional D + gradient penalty: the torch GP mirror must score the
+    interpolates WITH the real-batch labels (tpugan's d_score passes y_real)
+    — this combination used to crash the harness with a missing-y TypeError,
+    so parity for it was asymmetrically untestable."""
+    from tpugan.parity.runners import run_convergence_parity
+
+    r = run_convergence_parity(
+        "cdcgan_celeba64", 10, batch_size=8, width=16, nz=16, fid_n=64,
+        overrides={"model.image_size": 32, "loss.kind": "wgan_gp",
+                   "loss.n_critic": 5})
+    lj, lt = r["losses_tpugan"], r["losses_torch"]
+    np.testing.assert_allclose(lj[:, 0], lt[:, 0], rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(lj[:, 1], lt[:, 1], rtol=5e-3, atol=5e-4)

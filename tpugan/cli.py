@@ -214,7 +214,7 @@ def cmd_profile(args):
         "bytes_accessed": costs.get("bytes accessed", 0.0),
         "ms_per_step": round(sec * 1e3, 4),
         "achieved_tflops": round(flops / sec / 1e12, 4) if sec else 0.0,
-        "images_per_sec": round(cfg.data.batch_size / sec, 1),
+        "images_per_sec": round(cfg.data.batch_size / sec, 1) if sec else 0.0,
     }
     if args.trace:
         with trace(args.trace):

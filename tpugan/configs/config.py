@@ -37,7 +37,7 @@ class ModelConfig:
     ngf: int = 64  # generator base width
     ndf: int = 64  # discriminator base width
     n_classes: int = 0  # >0 enables conditional embedding (cdcgan)
-    embed_dim: int = 0  # label embedding dim (0 -> nz for G input concat)
+    embed_dim: int = 0  # label embedding dim (0 -> default 50)
     g_batchnorm: bool = True
     d_batchnorm: bool = True  # reference: BN in D for CIFAR configs
     d_spectral_norm: bool = False  # SNGAN: spectral norm on D weights
@@ -247,22 +247,24 @@ class Config:
             if parts[-1] not in node:
                 raise KeyError(f"unknown config field: {key}")
             node[parts[-1]] = _coerce(val, node[parts[-1]])
-        d["name"] = self.name
         return Config.from_dict(d)
 
 
 def _coerce(val: Any, like: Any) -> Any:
     if not isinstance(val, str):
         return val
+    if isinstance(like, str):
+        return val
+    if val.lower() in ("none", "null"):
+        return None  # unset an Optional field (regardless of current value)
     if like is None:
-        # Optional fields (e.g. train.mesh_shape): infer numeric strings
+        # Optional fields (e.g. train.mesh_shape): numeric strings are
+        # inferred, anything else stays a string (paths).
         for t in (int, float):
             try:
                 return t(val)
             except ValueError:
                 continue
-        return val
-    if isinstance(like, str):
         return val
     t = type(like)
     if t is bool:

@@ -108,6 +108,12 @@ def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
         feat_real, _ = extractor(real_images, batch=bs)
         _cache_put(key, feat_real)
 
+    if min(len(feat_real), len(feat_fake)) < 2:
+        raise ValueError(
+            "evaluate() needs at least 2 real and 2 fake samples (got "
+            f"{len(feat_real)} real / {len(feat_fake)} fake) — FID's "
+            "covariance and KID's unbiased estimator are undefined at n<2; "
+            "raise eval.fid_n or pass a larger real set")
     fid = fid_from_features(feat_real, feat_fake)
     kid, kid_std = kid_from_features(feat_real, feat_fake)
     is_mean, is_std = inception_score(probs_fake)

@@ -56,6 +56,11 @@ def kid_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
     rng = np.random.default_rng(seed)
     d = feat_real.shape[1]
     m = min(subset_size, len(feat_real), len(feat_fake))
+    if m < 2:
+        # the unbiased within-set term divides by m*(m-1)
+        raise ValueError(
+            f"KID needs at least 2 samples per set, got "
+            f"{len(feat_real)} real / {len(feat_fake)} fake")
     if m == len(feat_real) and m == len(feat_fake):
         # subsets would all be full-set permutations (kernel sums are
         # permutation-invariant): one exact pass, zero estimator variance
@@ -90,7 +95,7 @@ def inception_score(probs: np.ndarray, splits: int = 10
 
 
 def prdc_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
-                       k: int = 5) -> dict:
+                       k: int = 5, chunk: int = 2048) -> dict:
     """Precision / Recall / Density / Coverage (Kynkäänniemi et al. 2019;
     Naeem et al. 2020): manifold-overlap metrics that separate fidelity
     (precision, density) from diversity (recall, coverage) — FID conflates
@@ -114,20 +119,33 @@ def prdc_from_features(feat_real: np.ndarray, feat_fake: np.ndarray,
         d2 = np.maximum(aa + bb - 2.0 * (a @ b.T), 0.0)
         return np.sqrt(d2)
 
+    # Row-chunked throughout: a full (n, m) float64 matrix at the default
+    # fid_n=10000 is 800 MB and np.partition copies it again — chunking
+    # bounds the peak at chunk x m while computing identical per-row values.
     def _knn_radius(a):
-        d = _pairwise(a, a)
         # k-th nearest EXCLUDING self (self-distance 0 occupies slot 0)
-        return np.partition(d, k, axis=1)[:, k]
+        out = np.empty(len(a), np.float64)
+        for i in range(0, len(a), chunk):
+            d = _pairwise(a[i:i + chunk], a)
+            out[i:i + chunk] = np.partition(d, k, axis=1)[:, k]
+        return out
 
     r_real = _knn_radius(fr)  # (n_real,)
     r_fake = _knn_radius(ff)  # (n_fake,)
-    d_rf = _pairwise(fr, ff)  # (n_real, n_fake)
 
-    inside_real = d_rf < r_real[:, None]  # fake j inside real i's ball
-    precision = float(inside_real.any(axis=0).mean())
-    density = float(inside_real.sum(axis=0).mean() / k)
-    coverage = float((d_rf.min(axis=1) < r_real).mean())
-    inside_fake = d_rf < r_fake[None, :]  # real i inside fake j's ball
-    recall = float(inside_fake.any(axis=1).mean())
-    return {"precision": precision, "recall": recall,
-            "density": density, "coverage": coverage}
+    fake_in_some_real = np.zeros(len(ff), bool)  # fake j in ANY real ball
+    real_balls_per_fake = np.zeros(len(ff), np.float64)
+    coverage_hits = 0  # reals whose k-NN ball contains SOME fake
+    recall_hits = 0    # reals inside SOME fake point's k-NN ball
+    for i in range(0, len(fr), chunk):
+        d = _pairwise(fr[i:i + chunk], ff)  # (c, n_fake)
+        inside_real = d < r_real[i:i + chunk, None]
+        fake_in_some_real |= inside_real.any(axis=0)
+        real_balls_per_fake += inside_real.sum(axis=0)
+        coverage_hits += int((d.min(axis=1) < r_real[i:i + chunk]).sum())
+        recall_hits += int((d < r_fake[None, :]).any(axis=1).sum())
+
+    return {"precision": float(fake_in_some_real.mean()),
+            "recall": float(recall_hits / len(fr)),
+            "density": float(real_balls_per_fake.mean() / k),
+            "coverage": float(coverage_hits / len(fr))}

@@ -13,6 +13,14 @@ def _dtype(precision: str):
     return jnp.bfloat16 if precision == "bf16" else jnp.float32
 
 
+def resolve_embed_dim(cfg: ModelConfig) -> int:
+    """embed_dim=0 means 'use the default' (50).  Shared by build_models and
+    the torch parity twins so both frameworks resolve the default the same
+    way — a twin built from the raw field would get Embedding(n, 0) and
+    crash the weight transplant on a shape mismatch."""
+    return cfg.embed_dim or 50
+
+
 def build_models(cfg: ModelConfig, precision: str = "bf16"):
     """Return (generator, discriminator) modules for a ModelConfig."""
     dtype = _dtype(precision)
@@ -27,7 +35,7 @@ def build_models(cfg: ModelConfig, precision: str = "bf16"):
     if cfg.arch == "cdcgan":
         if cfg.n_classes <= 0:
             raise ValueError("cdcgan requires model.n_classes > 0")
-        embed = cfg.embed_dim or 50
+        embed = resolve_embed_dim(cfg)
         g = CondGenerator(cfg.image_size, cfg.channels, cfg.nz, cfg.ngf,
                           cfg.n_classes, embed, batchnorm=cfg.g_batchnorm,
                           dtype=dtype)

@@ -141,19 +141,22 @@ def _torch_g_loss(kind: str, f, torch):
     raise ValueError(kind)
 
 
-def _torch_gp(td, real, fake, alpha, torch):
+def _torch_gp(td, real, fake, alpha, torch, y=None):
     """Mirror of losses/gradient_penalty.py, incl. the eps inside sqrt.
 
     The interpolate forward runs in EVAL mode: tpugan's GP scores x_hat
     with train=False on frozen D state (steps.py d_score), so a twin left
     in train mode would normalize with batch stats and advance BN/SN
     buffers — harness drift, not framework difference (matters only for
-    configs with BN/SN in D; the built-in wgan_gp preset has neither)."""
+    configs with BN/SN in D; the built-in wgan_gp preset has neither).
+
+    y: real-batch labels for a conditional D — tpugan's d_score passes
+    y_real to the interpolate forward (steps.py), so the twin must too."""
     a = torch.from_numpy(alpha)
     x_hat = (a * real + (1.0 - a) * fake).detach().requires_grad_(True)
     was_training = td.training
     td.eval()
-    out = td(x_hat)
+    out = td(x_hat, y) if y is not None else td(x_hat)
     if was_training:
         td.train()
     (grads,) = torch.autograd.grad(out.sum(), x_hat, create_graph=True)
@@ -178,15 +181,18 @@ def build_torch_twins(cfg: Config, state):
         transplant_g,
     )
 
+    from tpugan.models.registry import resolve_embed_dim
+
     m = cfg.model
     pg, sg = jax.device_get(state.params_g), jax.device_get(state.state_g)
     pd, sd = jax.device_get(state.params_d), jax.device_get(state.state_d)
     if m.arch == "cdcgan":
+        ed = resolve_embed_dim(m)  # 0 -> 50, same rule as build_models
         tg = TorchCondGenerator(m.image_size, m.channels, m.nz, m.ngf,
-                                m.n_classes, m.embed_dim,
+                                m.n_classes, ed,
                                 batchnorm=m.g_batchnorm)
         td = TorchCondDiscriminator(m.image_size, m.channels, m.ndf,
-                                    m.n_classes, m.embed_dim,
+                                    m.n_classes, ed,
                                     batchnorm=m.d_batchnorm,
                                     spectral_norm=m.d_spectral_norm)
         transplant_cond_g(pg, sg, tg)
@@ -251,8 +257,8 @@ def run_torch(cfg: Config, tg, td, streams) -> np.ndarray:
                                real_label=cfg.loss.real_label,
                                fake_label=cfg.loss.fake_label)
         if kind == "wgan_gp":
-            loss_d = loss_d + lambda_gp * _torch_gp(td, x, fake,
-                                                    s["alpha"], torch)
+            loss_d = loss_d + lambda_gp * _torch_gp(
+                td, x, fake, s["alpha"], torch, y if cond else None)
         loss_d.backward()
         opt_d.step()
         if clip is not None:
