@@ -310,6 +310,32 @@ def cmd_import_torch(args):
           f"sample/eval/export --ckpt, or train --resume to fine-tune")
 
 
+def cmd_export_torch(args):
+    """tpugan checkpoint -> reference-style torch .pth (the inverse of
+    import-torch, completing the migration story in both directions: a
+    model trained or fine-tuned here goes back to any torch DCGAN-family
+    codebase with BN stats and SN u buffers intact)."""
+    import torch
+
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.ckpt.torch_export import export_torch_checkpoint
+    from tpugan.models import build_models
+    from tpugan.train import TrainState, create_train_state
+
+    cfg = _load_cfg_for_ckpt(args.ckpt)
+    g, d = build_models(cfg.model, cfg.train.precision)
+    template = create_train_state(cfg, g, d)
+    state = TrainState(**CheckpointManager(args.ckpt).restore(
+        dict(template), step=args.step or None))
+    out = export_torch_checkpoint(cfg, state, use_ema=args.ema)
+    torch.save(out, args.out)
+    size = os.path.getsize(args.out)
+    print(f"exported step-{out['step']} G+D -> {args.out} "
+          f"({size / 1e6:.2f} MB, {'EMA' if args.ema else 'raw'} generator "
+          f"weights; BN stats and SN u carried; optimizer state not "
+          f"exported — see ckpt/torch_export.py)")
+
+
 def cmd_bench(args):
     # Delegate to the repo-root benchmark (kept as its own script so the
     # driver can run it headless); this subcommand is the discoverable path.
@@ -409,6 +435,17 @@ def main(argv=None):
                    help="step number to stamp on the checkpoint")
     p.add_argument("--out", required=True, help="tpugan checkpoint dir")
 
+    p = sub.add_parser(
+        "export-torch",
+        help="convert a tpugan checkpoint into a reference-style torch "
+             ".pth (G/D state_dicts; the inverse of import-torch)")
+    p.add_argument("--ckpt", required=True, help="tpugan checkpoint dir")
+    p.add_argument("--out", default="model.pth", help="output .pth path")
+    p.add_argument("--step", type=int, default=0,
+                   help="checkpoint step to export (default: latest)")
+    p.add_argument("--ema", action="store_true",
+                   help="export the EMA generator weights instead of raw")
+
     # bench forwards unknown flags to bench.py; other commands reject them
     args, extra = ap.parse_known_args(argv)
     if args.cmd != "bench" and extra:
@@ -418,7 +455,8 @@ def main(argv=None):
      "eval": cmd_eval, "export": cmd_export, "serve": cmd_serve,
      "bench": cmd_bench, "profile": cmd_profile,
      "convert-inception": cmd_convert_inception,
-     "import-torch": cmd_import_torch}[args.cmd](args)
+     "import-torch": cmd_import_torch,
+     "export-torch": cmd_export_torch}[args.cmd](args)
 
 
 if __name__ == "__main__":
