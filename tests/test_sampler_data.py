@@ -35,6 +35,42 @@ def test_sampler_seed_determinism_and_chunking():
     assert a.shape == (8, 28, 28, 1) and a.dtype == np.float32
 
 
+def test_sampler_unroll_invariance():
+    """unroll>1 (fused multi-batch programs, the dispatch-amortization
+    path) must not change a single pixel vs sequential generation —
+    including the non-divisible tail and the conditional variant."""
+    cfg = tiny()
+    g, d = build_models(cfg.model, cfg.train.precision)
+    state = create_train_state(cfg, g, d)
+    s = Sampler(cfg, g, state.params_g, state.state_g)
+    a = s.sample(10, seed=7, batch_size=2)
+    b = s.sample(10, seed=7, batch_size=2, unroll=3)  # 3 fused groups + tail
+    np.testing.assert_array_equal(a, b)
+
+    cfg_c = tiny("cdcgan_celeba64").override({
+        "model.ngf": 8, "model.ndf": 8, "model.nz": 8})
+    gc, dc = build_models(cfg_c.model, cfg_c.train.precision)
+    st = create_train_state(cfg_c, gc, dc)
+    sc = Sampler(cfg_c, gc, st.params_g, st.state_g)
+    lbl = np.arange(8, dtype=np.int32) % cfg_c.model.n_classes
+    ac = sc.sample(8, seed=3, labels=lbl, batch_size=2)
+    bc = sc.sample(8, seed=3, labels=lbl, batch_size=2, unroll=2)
+    np.testing.assert_array_equal(ac, bc)
+
+    # restricted paths fall back with a warning, not silently diverge
+    import warnings as _w
+
+    cfg_sp = tiny().override({"train.spatial_shards": 2})
+    gs, ds = build_models(cfg_sp.model, cfg_sp.train.precision)
+    sts = create_train_state(cfg_sp, gs, ds)
+    ss = Sampler(cfg_sp, gs, sts.params_g, sts.state_g)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = ss.sample(4, seed=1, batch_size=2, unroll=2)
+    assert out.shape == (4, 28, 28, 1)
+    assert any("unroll" in str(r.message) for r in rec)
+
+
 def test_conditional_sampler_labels():
     cfg = tiny("cdcgan_celeba64").override({
         "model.ngf": 8, "model.ndf": 8, "model.nz": 8})
