@@ -47,6 +47,21 @@ def test_train_sample_eval_roundtrip(tmp_path, capsys):
     result = json.loads(out.strip().splitlines()[-1])
     assert np.isfinite(result["fid"]) and result["backend"] == "proxy"
 
+    # sample --outdir (individual PNGs) + the two-folder fid command —
+    # the reference-era `pytorch-fid path_a path_b` workflow end-to-end
+    d1, d2 = str(tmp_path / "set_a"), str(tmp_path / "set_b")
+    run_cli(capsys, "sample", "--ckpt", ckpt, "--n", "8", "--seed", "1",
+            "--outdir", d1)
+    run_cli(capsys, "sample", "--ckpt", ckpt, "--n", "8", "--seed", "2",
+            "--outdir", d2)
+    assert sorted(os.listdir(d1))[0] == "sample_000000.png"
+    assert len(os.listdir(d2)) == 8
+    out = run_cli(capsys, "fid", d1, d2, "--image-size", "28",
+                  "--channels", "1", "--batch", "8")
+    r = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(r["fid"]) and r["n_a"] == 8 and r["n_b"] == 8
+    assert "is_mean" not in r  # no set is "generated"; IS is not reported
+
 
 def test_bad_override_is_actionable(tmp_path):
     with pytest.raises(KeyError, match="model.nfg"):

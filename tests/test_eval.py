@@ -190,3 +190,46 @@ def test_kid_increases_with_distance(rng):
     k_near, _ = kid_from_features(base, near, subset_size=300, n_subsets=5)
     k_far, _ = kid_from_features(base, far, subset_size=300, n_subsets=5)
     assert k_near < k_far
+
+
+def test_evaluate_folders_semantics(tmp_path):
+    """Two-folder FID (the pytorch-fid workflow): ~0 for identical folders,
+    same-distribution split << different-distribution, channels=1 path,
+    limit honored, empty folder fails loudly."""
+    import os
+
+    import pytest
+
+    from tpugan.data.datasets import make_synthetic
+    from tpugan.eval import evaluate_folders
+    from tpugan.utils import save_png
+
+    imgs = make_synthetic(32, 3, 64, seed=0)["images"]  # uint8 NHWC
+    def write(name, arr):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        for i, im in enumerate(arr):
+            save_png(os.path.join(d, f"{i:04d}.png"), im)
+        return d
+
+    a = write("a", imgs[:32])
+    a2 = write("a2", imgs[32:])          # same distribution, disjoint split
+    inv = write("inv", 255 - imgs[:32])  # different distribution
+
+    same = evaluate_folders(a, a, image_size=32)
+    assert same["fid"] < 1e-6 and same["n_a"] == 32
+    split = evaluate_folders(a, a2, image_size=32)
+    diff = evaluate_folders(a, inv, image_size=32)
+    assert split["fid"] < diff["fid"]
+    assert "is_mean" not in split
+
+    capped = evaluate_folders(a, a2, image_size=32, n=8)
+    assert capped["n_a"] == 8 and capped["n_b"] == 8
+    gray = evaluate_folders(a, a2, image_size=32, channels=1)
+    assert np.isfinite(gray["fid"])
+    prdc = evaluate_folders(a, a2, image_size=32, prdc=True)
+    assert {"precision", "recall"} <= set(prdc)
+
+    os.makedirs(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="no images"):
+        evaluate_folders(a, str(tmp_path / "empty"), image_size=32)

@@ -101,6 +101,16 @@ def cmd_sample(args):
     sampler = Sampler(cfg, g, params, state_g)
     imgs = sampler.sample(args.n, seed=args.seed,
                           batch_size=args.batch_size or args.n)
+    if args.outdir:
+        # one PNG per image (the two-folder eval workflow: sample --outdir
+        # then `tpugan fid <outdir> <real dir>`)
+        os.makedirs(args.outdir, exist_ok=True)
+        u8 = to_uint8(imgs)
+        for i in range(len(u8)):
+            save_png(os.path.join(args.outdir, f"sample_{i:06d}.png"), u8[i])
+        print(f"wrote {len(u8)} images (seed {args.seed}, step {step}) "
+              f"-> {args.outdir}")
+        return
     grid = make_grid(to_uint8(imgs), nrow=args.nrow)
     save_png(args.out, grid)
     print(f"wrote {args.out} ({args.n} images, seed {args.seed}, "
@@ -310,6 +320,18 @@ def cmd_import_torch(args):
           f"sample/eval/export --ckpt, or train --resume to fine-tune")
 
 
+def cmd_fid(args):
+    """FID/KID between two image folders (pytorch-fid's two-path usage)."""
+    from tpugan.eval import evaluate_folders
+
+    result = evaluate_folders(
+        args.path_a, args.path_b, image_size=args.image_size,
+        channels=args.channels, metric=args.metric,
+        inception_weights=args.inception_weights, n=args.n,
+        batch=args.batch, prdc=args.prdc)
+    print(json.dumps(result))
+
+
 def cmd_export_torch(args):
     """tpugan checkpoint -> reference-style torch .pth (the inverse of
     import-torch, completing the migration story in both directions: a
@@ -370,6 +392,9 @@ def main(argv=None):
     p.add_argument("--nrow", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--out", default="samples.png")
+    p.add_argument("--outdir", default="",
+                   help="write n individual PNGs here instead of one grid "
+                        "(pairs with `tpugan fid`)")
 
     p = sub.add_parser("eval", help="FID/IS evaluation")
     p.add_argument("--ckpt", required=True)
@@ -436,6 +461,25 @@ def main(argv=None):
     p.add_argument("--out", required=True, help="tpugan checkpoint dir")
 
     p = sub.add_parser(
+        "fid",
+        help="FID/KID between two image folders (the pytorch-fid two-path "
+             "workflow; generator-free)")
+    p.add_argument("path_a")
+    p.add_argument("path_b")
+    p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--channels", type=int, default=3)
+    p.add_argument("--metric", default="proxy",
+                   choices=["proxy", "inception"])
+    p.add_argument("--inception-weights", default="",
+                   help="weight pickle from `tpugan convert-inception` "
+                        "(required for --metric inception)")
+    p.add_argument("--n", type=int, default=0,
+                   help="cap images per folder (default: all)")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--prdc", action="store_true",
+                   help="also report precision/recall/density/coverage")
+
+    p = sub.add_parser(
         "export-torch",
         help="convert a tpugan checkpoint into a reference-style torch "
              ".pth (G/D state_dicts; the inverse of import-torch)")
@@ -456,7 +500,7 @@ def main(argv=None):
      "bench": cmd_bench, "profile": cmd_profile,
      "convert-inception": cmd_convert_inception,
      "import-torch": cmd_import_torch,
-     "export-torch": cmd_export_torch}[args.cmd](args)
+     "export-torch": cmd_export_torch, "fid": cmd_fid}[args.cmd](args)
 
 
 if __name__ == "__main__":

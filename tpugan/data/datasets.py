@@ -265,6 +265,44 @@ def _load_celeba(data_dir: str, image_size: int, *, streaming: str = "auto",
     return {"images": imgs, "labels": labels}
 
 
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def load_image_folder(root: str, image_size: int, channels: int = 3,
+                      limit: int = 0) -> np.ndarray:
+    """Any folder of images (recursive) -> uint8 NHWC at one geometry.
+
+    The loader behind the two-folder FID workflow (``tpugan fid A B`` —
+    the reference-era ``pytorch-fid path_a path_b`` usage): center-crop to
+    square + bilinear resize (the same transform chain as the CelebA
+    reader), deterministic sorted file order, optional ``limit`` on the
+    number of images."""
+    from PIL import Image
+
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(root) for f in fs
+        if f.lower().endswith(_IMG_EXTS))
+    if limit:
+        files = files[:limit]
+    if not files:
+        raise FileNotFoundError(f"no images ({'/'.join(_IMG_EXTS)}) "
+                                f"under {root!r}")
+    mode = "L" if channels == 1 else "RGB"
+    out = np.empty((len(files), image_size, image_size, channels), np.uint8)
+    for i, path in enumerate(files):
+        with Image.open(path) as im:
+            im = im.convert(mode)
+            w, h = im.size
+            side = min(w, h)
+            left, top = (w - side) // 2, (h - side) // 2
+            im = im.crop((left, top, left + side, top + side))
+            im = im.resize((image_size, image_size), Image.BILINEAR)
+            a = np.asarray(im)
+        out[i] = a[..., None] if channels == 1 else a
+    return out
+
+
 def _load_celeba_attrs(data_dir: str, files) -> np.ndarray:
     """Male/Female attribute as the 2-class conditioning label (0/1)."""
     for cand in (os.path.join(data_dir, "celeba", "list_attr_celeba.txt"),

@@ -3,4 +3,4 @@ from tpugan.eval.fid import (  # noqa: F401
     inception_score,
     prdc_from_features,
 )
-from tpugan.eval.evaluate import evaluate  # noqa: F401
+from tpugan.eval.evaluate import evaluate, evaluate_folders  # noqa: F401

@@ -123,3 +123,40 @@ def evaluate(cfg: Config, g, params_g, state_g, *, seed: int = 0,
     if cfg.eval.prdc:
         out.update(prdc_from_features(feat_real, feat_fake))
     return out
+
+
+def evaluate_folders(path_a: str, path_b: str, *, image_size: int = 64,
+                     channels: int = 3, metric: str = "proxy",
+                     inception_weights: str = "", n: int = 0,
+                     batch: int = 256, prdc: bool = False) -> Dict[str, float]:
+    """FID/KID between two image FOLDERS — the reference-era two-set
+    workflow (``pytorch-fid path_a path_b``), generator-free.
+
+    Both folders are decoded at one geometry (center-crop + resize to
+    ``image_size``, sorted file order — tpugan/data/datasets.py::
+    load_image_folder) and featured with the same extractor, so the number
+    is symmetric in its inputs up to FID's real/fake asymmetry-free form.
+    ``metric="inception"`` + ``inception_weights`` gives exact pytorch-fid
+    features (the network resizes to 299 internally); the default proxy
+    backend is the deterministic offline stand-in (relative distances
+    only — see eval/features.py).  No IS is reported: neither folder is
+    designated "generated", and IS needs class probabilities of one set.
+    """
+    from tpugan.data.datasets import load_image_folder
+
+    a = load_image_folder(path_a, image_size, channels, limit=n)
+    b = load_image_folder(path_b, image_size, channels, limit=n)
+    if min(len(a), len(b)) < 2:
+        raise ValueError(
+            f"evaluate_folders needs >=2 images per side (got {len(a)} in "
+            f"{path_a!r}, {len(b)} in {path_b!r})")
+    extractor = make_extractor(channels, metric, inception_weights)
+    feat_a, _ = extractor(a.astype(np.float32) / 127.5 - 1.0, batch=batch)
+    feat_b, _ = extractor(b.astype(np.float32) / 127.5 - 1.0, batch=batch)
+    kid, kid_std = kid_from_features(feat_a, feat_b)
+    out = {"fid": fid_from_features(feat_a, feat_b),
+           "kid": kid, "kid_std": kid_std,
+           "n_a": int(len(a)), "n_b": int(len(b)), "backend": metric}
+    if prdc:
+        out.update(prdc_from_features(feat_a, feat_b))
+    return out
