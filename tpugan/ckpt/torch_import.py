@@ -15,11 +15,20 @@ Layout inversions (the exact inverses of torch_twin's transplant_*):
     torch ConvT2d  IOHW (ci,co,kh,kw)  -> tpugan HWIO via transpose(2,3,0,1)
     torch Linear   (dout,din)          -> tpugan Dense (din,dout) via .T
 
-Optimizer state is NOT imported: torch Adam/RMSprop moments are keyed by
-parameter *order* inside opaque param groups, and the reference's training
-scripts don't standardize that order — a silent mis-alignment would be
-worse than a cold optimizer.  Importers get fresh optimizer state and a
-printed note (resume fine-tuning warms it up within a few hundred steps).
+Optimizer state from FOREIGN .pth files is NOT imported: torch
+Adam/RMSprop moments are keyed by parameter *order* inside opaque param
+groups, and the reference's training scripts don't standardize that order
+— a silent mis-alignment would be worse than a cold optimizer.  Those
+importers get fresh optimizer state and a printed note (resume fine-tuning
+warms it up within a few hundred steps).
+
+tpugan's OWN exports are the exception: ``tpugan export-torch`` writes
+``opt_G``/``opt_D`` in torch-native format indexed by the twin's
+``parameters()`` order — an order tpugan defines — plus a
+``tpugan_export`` marker recording the optimizer rule.  When that marker
+is present (``import_optimizer_state``), the moments round-trip
+losslessly back into optax state and fine-tuning resumes warm
+(tests/test_torch_export.py pins bit-exactness for adam and rmsprop).
 """
 
 from __future__ import annotations
@@ -249,6 +258,128 @@ def _assert_shapes_match(what: str, imported, template) -> None:
             f"{what}: architecture mismatch — {len(bad)} tensors disagree "
             f"in shape (wrong preset or nz/ngf/ndf overrides?): "
             + "; ".join(bad[:6]))
+
+
+# Keys under which tpugan export-torch (and common torch GAN scripts)
+# store the optimizer state_dicts.  Only consumed when the checkpoint
+# carries the tpugan_export marker — see module docstring.
+_OPT_G_KEYS = ("opt_G", "opt_g", "optimizerG", "optimizer_g")
+_OPT_D_KEYS = ("opt_D", "opt_d", "optimizerD", "optimizer_d")
+
+
+def extract_export_meta(obj) -> Tuple[Optional[Dict], Optional[Dict],
+                                      Optional[Dict]]:
+    """(tpugan_export marker, opt_G sd, opt_D sd) from a loaded .pth —
+    all None-able; callers gate optimizer import on the marker."""
+    if not isinstance(obj, dict):
+        return None, None, None
+    meta = obj.get("tpugan_export")
+    if not isinstance(meta, dict):
+        meta = None
+    opt_g = next((obj[k] for k in _OPT_G_KEYS
+                  if isinstance(obj.get(k), dict)), None)
+    opt_d = next((obj[k] for k in _OPT_D_KEYS
+                  if isinstance(obj.get(k), dict)), None)
+    return meta, opt_g, opt_d
+
+
+def _rebuild_moment_tree(twin, opt_sd: Dict, field: str, import_fn,
+                         params, net_state):
+    """One torch moment column (exp_avg / exp_avg_sq / square_avg) -> a
+    params-shaped jax tree.
+
+    The inverse of export's moments-as-weights transplant: substitute the
+    moment tensors for the parameter entries of the twin's state_dict (the
+    index→name map is ``named_parameters()`` order, which tpugan's own
+    export defined) and run the WEIGHT importer on it — the layout
+    transposes are guaranteed to match the weights' own by construction.
+    """
+    names = [n for n, _ in twin.named_parameters()]
+    st = opt_sd.get("state", {})
+    if len(st) != len(names):
+        raise ValueError(
+            f"optimizer state has {len(st)} param entries but the "
+            f"architecture has {len(names)} parameters — wrong preset or "
+            "a foreign checkpoint (only tpugan-exported .pth carry "
+            "importable optimizer state)")
+    fake = dict(twin.state_dict())
+    for i, name in enumerate(names):
+        entry = st[i] if i in st else st[str(i)]
+        if field not in entry:
+            raise ValueError(
+                f"optimizer state entry {i} has no {field!r} "
+                f"(have {sorted(entry)}) — optimizer rule mismatch?")
+        fake[name] = entry[field]
+    tree, _ = import_fn(fake, params, net_state)
+    return tree
+
+
+def _opt_count(opt_sd: Dict) -> int:
+    for entry in opt_sd.get("state", {}).values():
+        if "step" in entry:
+            return int(entry["step"])
+    return 0
+
+
+def import_optimizer_state(cfg, state, opt_g_sd: Optional[Dict] = None,
+                           opt_d_sd: Optional[Dict] = None):
+    """Restore optax opt_g/opt_d from tpugan-exported torch optimizer
+    state_dicts (the warm half of the tpugan→torch→tpugan round trip).
+
+    ONLY call this for checkpoints carrying the ``tpugan_export`` marker
+    with a matching ``optimizer`` — the index→param mapping is the twin's
+    ``parameters()`` order, which foreign checkpoints don't promise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.parity.runners import build_torch_twins
+    from tpugan.train.state import make_optimizers
+
+    twin_g, twin_d = build_torch_twins(cfg, state)
+    tx_g, tx_d = make_optimizers(cfg)
+    conditional = cfg.model.arch == "cdcgan"
+    o = cfg.optim
+
+    def rebuild(twin, tx, opt_sd, import_fn, params, net_state):
+        if o.optimizer == "adam":
+            mu = _rebuild_moment_tree(twin, opt_sd, "exp_avg",
+                                      import_fn, params, net_state)
+            nu = _rebuild_moment_tree(twin, opt_sd, "exp_avg_sq",
+                                      import_fn, params, net_state)
+        else:  # rmsprop: second moment only, no bias-correction count
+            mu = None
+            nu = _rebuild_moment_tree(twin, opt_sd, "square_avg",
+                                      import_fn, params, net_state)
+        count = _opt_count(opt_sd)
+        cast = lambda init_tree, tree: jax.tree.map(
+            lambda i, v: jnp.asarray(np.asarray(v), i.dtype),
+            init_tree, tree)
+        new = []
+        for s in tx.init(params):
+            fields = getattr(s, "_fields", ())
+            kw = {}
+            if "mu" in fields and mu is not None:
+                kw["mu"] = cast(s.mu, mu)
+            if "nu" in fields and nu is not None:
+                kw["nu"] = cast(s.nu, nu)
+            if "count" in fields:
+                kw["count"] = jnp.asarray(count, jnp.int32)
+            new.append(s._replace(**kw) if kw else s)
+        return tuple(new)
+
+    repl = {}
+    if opt_g_sd is not None:
+        repl["opt_g"] = rebuild(
+            twin_g, tx_g, opt_g_sd,
+            import_cond_g if conditional else import_g,
+            state.params_g, state.state_g)
+    if opt_d_sd is not None:
+        repl["opt_d"] = rebuild(
+            twin_d, tx_d, opt_d_sd,
+            import_cond_d if conditional else import_d,
+            state.params_d, state.state_d)
+    return state.replace(**repl) if repl else state
 
 
 def import_torch_state(cfg, g_sd: Optional[Dict] = None,

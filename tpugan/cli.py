@@ -275,6 +275,8 @@ def cmd_import_torch(args):
 
     from tpugan.ckpt import CheckpointManager
     from tpugan.ckpt.torch_import import (
+        extract_export_meta,
+        import_optimizer_state,
         import_torch_state,
         split_reference_checkpoint,
     )
@@ -290,9 +292,14 @@ def cmd_import_torch(args):
 
     cfg = get_preset(args.preset).override(_parse_sets(args.set))
     g_sd = d_sd = None
+    meta = opt_g_sd = opt_d_sd = None
+    is_ema = False
     step = args.step
     if args.ckpt:
-        g_sd, d_sd, found = split_reference_checkpoint(load(args.ckpt))
+        obj = load(args.ckpt)
+        g_sd, d_sd, found = split_reference_checkpoint(obj)
+        meta, opt_g_sd, opt_d_sd = extract_export_meta(obj)
+        is_ema = bool(isinstance(obj, dict) and obj.get("ema"))
         step = step or found
     if args.g:
         g_sd, _, found = split_reference_checkpoint(load(args.g))
@@ -310,12 +317,32 @@ def cmd_import_torch(args):
         raise SystemExit("nothing to import: pass --ckpt and/or --g/--d")
 
     state = import_torch_state(cfg, g_sd, d_sd, step=step)
+
+    # Optimizer state: trusted ONLY from tpugan's own exports (the
+    # tpugan_export marker pins the param order + update rule); foreign
+    # .pth moments stay un-imported by design (ckpt/torch_import.py).
+    opt_note = "optimizer state fresh by design"
+    if meta and (opt_g_sd is not None or opt_d_sd is not None):
+        if meta.get("optimizer") == cfg.optim.optimizer:
+            state = import_optimizer_state(cfg, state, opt_g_sd, opt_d_sd)
+            warm = [n for n, s in (("G", opt_g_sd), ("D", opt_d_sd))
+                    if s is not None]
+            opt_note = (f"optimizer moments restored warm for "
+                        f"{'+'.join(warm)} (tpugan-exported checkpoint)")
+        else:
+            opt_note = (f"optimizer state fresh: checkpoint was exported "
+                        f"under {meta.get('optimizer')!r} but this preset "
+                        f"uses {cfg.optim.optimizer!r}")
+    if is_ema:
+        print("note: checkpoint marks its G weights as EMA — imported as "
+              "both the raw and the EMA generator weights")
+
     ckpt = CheckpointManager(args.out)
     ckpt.save(int(state.step), state, cfg.to_json())
     ckpt.close()
     got = [n for n, s in (("G", g_sd), ("D", d_sd)) if s is not None]
     print(f"imported {'+'.join(got)} into {args.out} at step "
-          f"{int(state.step)} (optimizer state fresh by design; BN stats "
+          f"{int(state.step)} ({opt_note}; BN stats "
           f"and SN u vectors carried over) — usable via tpugan "
           f"sample/eval/export --ckpt, or train --resume to fine-tune")
 
@@ -352,10 +379,12 @@ def cmd_export_torch(args):
     out = export_torch_checkpoint(cfg, state, use_ema=args.ema)
     torch.save(out, args.out)
     size = os.path.getsize(args.out)
+    opts = "+".join(k[len("opt_"):] for k in ("opt_G", "opt_D") if k in out)
     print(f"exported step-{out['step']} G+D -> {args.out} "
           f"({size / 1e6:.2f} MB, {'EMA' if args.ema else 'raw'} generator "
-          f"weights; BN stats and SN u carried; optimizer state not "
-          f"exported — see ckpt/torch_export.py)")
+          f"weights — self-described via the 'ema' key; BN stats and SN u "
+          f"carried; {cfg.optim.optimizer} moments for {opts} in torch-"
+          f"native format, restored warm by tpugan import-torch)")
 
 
 def cmd_bench(args):

@@ -41,6 +41,22 @@ from tpugan.nn.core import Module
 from tpugan.ops.augment import apply_policy, parse_policy
 from tpugan.train.state import TrainState, make_optimizers
 
+# ADA r_t smoothing is defined over an IMAGE budget, not a step count
+# (Karras et al. 2020 integrate the overfitting heuristic over a fixed
+# number of reals).  _ADA_RT_IMG_WINDOW is that budget: the EMA blend
+# alpha = 1 - bsz/window gives every batch size the same ~1280-image
+# effective memory — batch 128 keeps round-4's measured 0.9/0.1 blend
+# exactly, batch 8 blends at 0.994 (160-step window) instead of a noisy
+# 10-step one, and huge batches clamp at 0.5 so one batch never fully
+# overwrites the estimate.  The A/B evidence behind the window choice is
+# docs/evidence/smalldata_ab.json (batch 128); DESIGN.md §7a documents it.
+_ADA_RT_IMG_WINDOW = 1280.0
+
+
+def ada_rt_alpha(bsz: int) -> float:
+    """EMA blend factor for ADA's r_t estimate at this batch size."""
+    return max(0.5, 1.0 - bsz / _ADA_RT_IMG_WINDOW)
+
 
 def epoch_indices(data_root: jax.Array, step: jax.Array, bsz: int,
                   n: int) -> jax.Array:
@@ -453,12 +469,19 @@ def build_train_step(cfg: Config, g: Module, d: Module, mesh=None
         # r_t into the EMA, nudge p toward holding it at the target, clip
         # to [0, 1].  Per-step nudge = bsz / (ada_kimg * 1000): p can
         # traverse [0,1] in ada_kimg thousand images (the paper's rule).
+        # The r_t blend is likewise image-budget-scaled (ada_rt_alpha):
+        # the paper integrates the overfitting heuristic over a fixed
+        # number of IMAGES, so a fixed per-step 0.9/0.1 blend would make
+        # the estimate noisy at tiny batches and sluggish at huge ones.
+        rt_alpha = ada_rt_alpha(bsz)
+
         def _ada_update(metrics):
             if not ada_on:
                 return state.ada_p, state.ada_rt, metrics
             metrics = dict(metrics)
             rt_b = metrics.pop("rt_batch")
-            rt = state.ada_rt * 0.9 + rt_b * 0.1
+            metrics["ada_rt_batch"] = rt_b  # observability + window tests
+            rt = state.ada_rt * rt_alpha + rt_b * (1.0 - rt_alpha)
             adj = jnp.sign(rt - cfg.train.ada_target) * (
                 bsz / (cfg.train.ada_kimg * 1000.0))
             p = jnp.clip(state.ada_p + adj, 0.0, 1.0)
