@@ -334,8 +334,11 @@ def cmd_import_torch(args):
                         f"under {meta.get('optimizer')!r} but this preset "
                         f"uses {cfg.optim.optimizer!r}")
     if is_ema:
+        both = state.params_g_ema is not None
         print("note: checkpoint marks its G weights as EMA — imported as "
-              "both the raw and the EMA generator weights")
+              + ("both the raw and the EMA generator weights" if both else
+                 "the raw generator weights (train.ema=0 for this preset; "
+                 "set train.ema>0 to track an EMA slot)"))
 
     ckpt = CheckpointManager(args.out)
     ckpt.save(int(state.step), state, cfg.to_json())
