@@ -7,8 +7,16 @@ cd "$(dirname "$0")/.."
 tier="${1:-all}"
 export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 if [[ "$tier" == "default" || "$tier" == "all" ]]; then
-    echo "=== default tier ==="
-    python -m pytest tests/ -q
+    # Budget (VERDICT r4 #6): the default tier targets <=20 min on an idle
+    # box (r5 retier: 9 heavy equivalence/composition tests whose axes are
+    # covered by a cheaper default test or the driver's every-round
+    # multichip gate moved to the slow tier with justification comments;
+    # measured 20:36 WITH a concurrent 8-device compile contending the
+    # box, ~18-19 min idle).  The hard kill is 25 min so box contention
+    # cannot spuriously fail a healthy run; if it triggers, re-run
+    # `pytest --durations=25` and retier before adding anything heavy.
+    echo "=== default tier (budget: 20 min target, 25 min hard) ==="
+    timeout 1500 python -m pytest tests/ -q
 fi
 if [[ "$tier" == "slow" || "$tier" == "all" ]]; then
     echo "=== slow tier (long convergence runs, full-Inception CPU compiles,"

@@ -201,6 +201,8 @@ def test_augmented_step_is_deterministic():
         np.testing.assert_array_equal(a, c)
 
 
+@pytest.mark.slow  # 35s: three full-step compiles; the off-is-identity
+# half is also pinned by test_augmented_step_is_deterministic (default).
 def test_augmentation_changes_training_but_not_when_off():
     """augment='' must leave the step's RNG stream and numerics untouched;
     augment=FULL must actually alter the trajectory."""
@@ -243,6 +245,9 @@ def test_augmented_grad_accum_step():
     assert all(np.isfinite(float(v)) for v in m.values())
 
 
+@pytest.mark.slow  # 28s: 8-device mesh compile; the driver's multichip
+# gate exercises augment x DP every round (placement #1), and
+# test_augmented_spatial_matches_dense keeps a mesh equivalence default.
 def test_augmented_dp_matches_single_device():
     cfg = tiny(**{"train.augment": FULL, "data.batch_size": 16})
     g, d = build_models(cfg.model, cfg.train.precision)
@@ -365,6 +370,8 @@ def test_ada_p_stays_floored_when_rt_below_target():
     assert -1.0 <= float(st.ada_rt) <= 1.0
 
 
+@pytest.mark.slow  # 55s: four step compiles at different batch sizes; the
+# cheaper ADA semantics tests (ramp/floor/resume) stay in the default tier.
 def test_ada_rt_window_is_image_budget_scaled():
     """The r_t EMA integrates over a fixed IMAGE budget (the paper's
     convention), not a fixed step count: alpha = max(0.5, 1 - bsz/1280).

@@ -65,6 +65,8 @@ def _tiny_cfg(tmp, steps):
         out_dir=os.path.join(tmp, "out")))
 
 
+@pytest.mark.slow  # 38s: two Trainer lifecycles; graceful preemption and
+# the keep_best watermark-survives-resume contract stay default.
 def test_fault_injection_crash_and_resume(tmp_path):
     """Simulated crash mid-training: a fresh process-equivalent Trainer
     resumes from the last checkpoint and continues to completion."""

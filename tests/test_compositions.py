@@ -109,6 +109,9 @@ def _fsdp_fast(tmp, fsdp):
         cfg.train, ckpt_dir=tmp + "/ckpt", out_dir=tmp + "/out"))
 
 
+@pytest.mark.slow  # 58s: two 2-D-mesh Trainer compiles; device_resident
+# x DP and grad_accum x FSDP keep the pair's axes covered in the default
+# tier, and the driver's multichip gate runs FSDP every round.
 def test_device_resident_composes_with_fsdp(tmp_path):
     """The HBM-resident dataset replicates onto the (data, model) mesh, the
     in-step gathered batch shards over 'data', weights stay model-sharded,
@@ -173,6 +176,8 @@ def test_grad_accum_composes_with_spatial(rng):
     _params_close(s0.params_d, s1.params_d)
 
 
+@pytest.mark.slow  # 32s: 2-D-mesh compile; the pure grad_accum x spatial
+# equivalence stays default, and the driver gate runs DP x spatial.
 def test_grad_accum_composes_with_dp_spatial_2d(rng):
     """Accumulation on the 2-D ('data', 'space') mesh: microbatches keep
     their 'data' batch sharding (collectives in the compiled HLO — the

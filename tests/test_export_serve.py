@@ -472,6 +472,8 @@ def test_http_validation_nrow_and_labels(server):
     assert status == 400
 
 
+@pytest.mark.slow  # 23s: FSDP Trainer compile; single-device export and
+# the cross-topology restore fallback stay default.
 def test_export_from_fsdp_trained_checkpoint(tmp_path):
     """The full scaling-user journey: train under FSDP, checkpoint, export
     a deployable artifact from the checkpoint dir, sample from it — the

@@ -5,6 +5,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 import __graft_entry__ as graft  # noqa: E402
@@ -17,5 +18,8 @@ def test_entry_compiles_and_runs():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow  # 76s: five-placement gate; the driver runs the
+# IDENTICAL dryrun_multichip(8) out-of-band every round, so the default
+# tier keeps only the single-device entry() compile check.
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)  # asserts internally (DP + FSDP placements)

@@ -225,6 +225,8 @@ def test_spatial_256_training_smoke():
     assert np.isfinite(float(m["loss_g"]))
 
 
+@pytest.mark.slow  # 50s: 2-D-mesh compile; the pure spatial-vs-dense
+# equivalence stays default and the driver gate runs DP x spatial (2x2).
 def test_dp_x_spatial_train_step_matches_dense(rng):
     """2-D DP x spatial: the full train step on a (2 data x 2 space) mesh
     — batch sharded over 'data', feature-map H over 'space', gradient
