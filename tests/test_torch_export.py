@@ -153,10 +153,10 @@ def test_export_torch_cli_round_trip(tmp_path):
 # Optimizer-state round trip (tpugan -> torch -> tpugan resumes warm)
 # ---------------------------------------------------------------------------
 
-def _assert_opt_equal(a, b):
+def _assert_opt_equal(a, b, names=("opt_g", "opt_d")):
     import jax
 
-    for name in ("opt_g", "opt_d"):
+    for name in names:
         la, lb = (jax.tree.leaves(getattr(a, name)),
                   jax.tree.leaves(getattr(b, name)))
         assert len(la) == len(lb), name
@@ -234,6 +234,40 @@ def test_optimizer_mismatch_refused():
     adam_cfg = _cfg("wgan_cifar10", **{"optim.optimizer": "adam"})
     with pytest.raises(ValueError, match="optimizer rule mismatch"):
         import_optimizer_state(adam_cfg, state, out["opt_G"], out["opt_D"])
+
+
+def test_override_drops_that_nets_moments(tmp_path, capsys):
+    """`import-torch --ckpt export.pth --g other.pth` must NOT warm-restore
+    the export's G moments onto the other file's weights — overriding a
+    net's weights drops that net's moments (D's, untouched, stay warm)."""
+    from tpugan.ckpt import CheckpointManager
+    from tpugan.cli import main as cli_main
+    from tpugan.train import TrainState
+
+    cfg = _cfg("dcgan_mnist")
+    state = _stepped_state(cfg, n=3)
+    pth = str(tmp_path / "export.pth")
+    torch.save(export_torch_checkpoint(cfg, state), pth)
+    other = str(tmp_path / "other_g.pth")
+    torch.save({"G": export_torch_checkpoint(
+        cfg, _stepped_state(cfg, seed=9))["G"]}, other)
+
+    out_dir = str(tmp_path / "back")
+    cli_main(["import-torch", "dcgan_mnist",
+              "--set", "model.ngf=16", "--set", "model.ndf=16",
+              "--set", "model.nz=16", "--set", "train.precision=fp32",
+              "--ckpt", pth, "--g", other, "--out", out_dir])
+    assert "restored warm for D" in capsys.readouterr().out
+
+    g, d = build_models(cfg.model, cfg.train.precision)
+    template = create_train_state(cfg, g, d)
+    back = TrainState(**CheckpointManager(out_dir).restore(dict(template)))
+    import jax
+    # G moments fresh (adam inits mu/nu to zero; count 0)...
+    assert all(float(np.abs(np.asarray(x)).max()) == 0.0
+               for x in jax.tree.leaves(back.opt_g))
+    # ...while D's round-tripped warm from the export
+    _assert_opt_equal(back, state, names=("opt_d",))
 
 
 def test_ema_export_self_describes_and_round_trips():

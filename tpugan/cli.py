@@ -307,12 +307,14 @@ def cmd_import_torch(args):
             raise SystemExit(f"{args.g} does not look like a generator "
                              "state_dict")
         step = step or found  # a full checkpoint passed via --g keeps its step
+        opt_g_sd = None  # --ckpt's G moments don't belong to --g's weights
     if args.d:
         _, d_sd, found = split_reference_checkpoint(load(args.d))
         if d_sd is None:
             raise SystemExit(f"{args.d} does not look like a discriminator "
                              "state_dict")
         step = step or found
+        opt_d_sd = None  # --ckpt's D moments don't belong to --d's weights
     if g_sd is None and d_sd is None:
         raise SystemExit("nothing to import: pass --ckpt and/or --g/--d")
 
