@@ -125,6 +125,13 @@ def export_torch_checkpoint(cfg, state, use_ema: bool = False,
     was written, so a later ``import-torch`` (or any torch consumer) can
     tell them apart.  ``include_opt=False`` drops the optimizer state for
     a weights-only .pth (smaller file, cold fine-tune).
+
+    Caveat on ``use_ema=True`` + optimizer state: ``opt_G`` is always the
+    RAW generator trajectory's moments (EMA weights are an average, not an
+    optimized point — they have no moments of their own).  They remain the
+    best available warm start for fine-tuning from the nearby EMA weights,
+    but they do not "belong" to them; pass ``include_opt=False`` for a
+    semantically clean EMA snapshot.
     """
     from tpugan.parity.runners import build_torch_twins
 
