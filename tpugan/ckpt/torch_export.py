@@ -57,30 +57,39 @@ def _opt_moments(opt_state) -> Tuple[int, Optional[Dict], Optional[Dict]]:
     return count, mu, nu
 
 
-def _moment_trees_as_torch(cfg, state, g_tree, d_tree
-                           ) -> Tuple[Optional[List], Optional[List]]:
+def _moment_trees_as_torch(cfg, state, columns
+                           ) -> List[Tuple[Optional[List], Optional[List]]]:
     """Layout-convert params-shaped moment trees to torch tensors in the
     twins' ``parameters()`` order.
 
-    Adam/RMSprop moments are elementwise companions of their parameters, so
-    the jax→torch layout transform for a moment is EXACTLY the weight's own
-    (ConvT HWIO→IOHW etc.).  Rather than duplicating those transposes, the
-    moment tree is transplanted through the same twin builders the weights
-    use — guaranteed-consistent by construction.
+    ``columns`` is a list of ``(g_tree, d_tree)`` pairs (each None-able;
+    e.g. Adam's mu and nu); returns the matching list of
+    ``(g_params, d_params)``.  Adam/RMSprop moments are elementwise
+    companions of their parameters, so the jax→torch layout transform for
+    a moment is EXACTLY the weight's own (ConvT HWIO→IOHW etc.).  Rather
+    than duplicating those transposes, each moment tree is transplanted
+    through the same twin builders the weights use — guaranteed-consistent
+    by construction — with ONE scratch twin pair reused across columns.
     """
     from tpugan.parity.runners import build_torch_twins
 
-    repl = {}
-    if g_tree is not None:
-        repl["params_g"] = g_tree
-    if d_tree is not None:
-        repl["params_d"] = d_tree
-    if not repl:
-        return None, None
-    tg, td = build_torch_twins(cfg, state.replace(**repl))
-    pick = lambda m: [p.detach().clone() for p in m.parameters()]
-    return (pick(tg) if g_tree is not None else None,
-            pick(td) if d_tree is not None else None)
+    twins = None
+    out: List[Tuple[Optional[List], Optional[List]]] = []
+    for g_tree, d_tree in columns:
+        repl = {}
+        if g_tree is not None:
+            repl["params_g"] = g_tree
+        if d_tree is not None:
+            repl["params_d"] = d_tree
+        if not repl:
+            out.append((None, None))
+            continue
+        twins = build_torch_twins(cfg, state.replace(**repl), into=twins)
+        tg, td = twins
+        pick = lambda m: [p.detach().clone() for p in m.parameters()]
+        out.append((pick(tg) if g_tree is not None else None,
+                    pick(td) if d_tree is not None else None))
+    return out
 
 
 def _torch_opt_state_dict(o, lr: float, mu_list, nu_list, count: int) -> Dict:
@@ -150,8 +159,8 @@ def export_torch_checkpoint(cfg, state, use_ema: bool = False,
     if include_opt:
         cg, mu_g, nu_g = _opt_moments(state.opt_g)
         cd, mu_d, nu_d = _opt_moments(state.opt_d)
-        mu_tg, mu_td = _moment_trees_as_torch(cfg, state, mu_g, mu_d)
-        nu_tg, nu_td = _moment_trees_as_torch(cfg, state, nu_g, nu_d)
+        (mu_tg, mu_td), (nu_tg, nu_td) = _moment_trees_as_torch(
+            cfg, state, [(mu_g, mu_d), (nu_g, nu_d)])
         o = cfg.optim
         if nu_tg is not None:
             out["opt_G"] = _torch_opt_state_dict(o, o.lr_g, mu_tg, nu_tg, cg)

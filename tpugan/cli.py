@@ -299,7 +299,15 @@ def cmd_import_torch(args):
         obj = load(args.ckpt)
         g_sd, d_sd, found = split_reference_checkpoint(obj)
         meta, opt_g_sd, opt_d_sd = extract_export_meta(obj)
-        is_ema = bool(isinstance(obj, dict) and obj.get("ema"))
+        # Provenance flag, not truthiness: foreign repos sometimes store an
+        # EMA *state_dict* under 'ema' — a non-empty dict must not flag the
+        # imported 'G' weights (which stay raw) as EMA.
+        ema_entry = obj.get("ema") if isinstance(obj, dict) else None
+        is_ema = ema_entry is True
+        if isinstance(ema_entry, dict):
+            print("note: checkpoint holds a dict under 'ema' (foreign EMA "
+                  "weights?) — not imported; pass that state_dict via --g "
+                  "to import it as the generator")
         step = step or found
     if args.g:
         g_sd, _, found = split_reference_checkpoint(load(args.g))
@@ -308,6 +316,7 @@ def cmd_import_torch(args):
                              "state_dict")
         step = step or found  # a full checkpoint passed via --g keeps its step
         opt_g_sd = None  # --ckpt's G moments don't belong to --g's weights
+        is_ema = False  # ...nor does --ckpt's EMA provenance flag
     if args.d:
         _, d_sd, found = split_reference_checkpoint(load(args.d))
         if d_sd is None:
@@ -323,9 +332,15 @@ def cmd_import_torch(args):
     # Optimizer state: trusted ONLY from tpugan's own exports (the
     # tpugan_export marker pins the param order + update rule); foreign
     # .pth moments stay un-imported by design (ckpt/torch_import.py).
+    from tpugan.ckpt.torch_export import EXPORT_VERSION
+
     opt_note = "optimizer state fresh by design"
     if meta and (opt_g_sd is not None or opt_d_sd is not None):
-        if meta.get("optimizer") == cfg.optim.optimizer:
+        if meta.get("version") != EXPORT_VERSION:
+            opt_note = (f"optimizer state fresh: checkpoint export format "
+                        f"v{meta.get('version')} != this build's "
+                        f"v{EXPORT_VERSION} — moment layout not trusted")
+        elif meta.get("optimizer") == cfg.optim.optimizer:
             state = import_optimizer_state(cfg, state, opt_g_sd, opt_d_sd)
             warm = [n for n, s in (("G", opt_g_sd), ("D", opt_d_sd))
                     if s is not None]

@@ -165,9 +165,15 @@ def _torch_gp(td, real, fake, alpha, torch, y=None):
     return ((norms - 1.0) ** 2).mean()
 
 
-def build_torch_twins(cfg: Config, state):
+def build_torch_twins(cfg: Config, state, into=None):
     """Torch G/D mirroring cfg's architecture, weights transplanted from a
-    tpugan TrainState (so both frameworks start bit-identical)."""
+    tpugan TrainState (so both frameworks start bit-identical).
+
+    ``into=(tg, td)`` re-transplants into existing twin modules instead of
+    constructing fresh ones — used by the exporter to run several
+    params-shaped trees (weights, Adam mu, Adam nu) through the same
+    layout transforms without rebuilding the modules each time.
+    """
     import jax
 
     from tpugan.parity.torch_twin import (
@@ -187,22 +193,28 @@ def build_torch_twins(cfg: Config, state):
     pg, sg = jax.device_get(state.params_g), jax.device_get(state.state_g)
     pd, sd = jax.device_get(state.params_d), jax.device_get(state.state_d)
     if m.arch == "cdcgan":
-        ed = resolve_embed_dim(m)  # 0 -> 50, same rule as build_models
-        tg = TorchCondGenerator(m.image_size, m.channels, m.nz, m.ngf,
-                                m.n_classes, ed,
-                                batchnorm=m.g_batchnorm)
-        td = TorchCondDiscriminator(m.image_size, m.channels, m.ndf,
+        if into is not None:
+            tg, td = into
+        else:
+            ed = resolve_embed_dim(m)  # 0 -> 50, same rule as build_models
+            tg = TorchCondGenerator(m.image_size, m.channels, m.nz, m.ngf,
                                     m.n_classes, ed,
-                                    batchnorm=m.d_batchnorm,
-                                    spectral_norm=m.d_spectral_norm)
+                                    batchnorm=m.g_batchnorm)
+            td = TorchCondDiscriminator(m.image_size, m.channels, m.ndf,
+                                        m.n_classes, ed,
+                                        batchnorm=m.d_batchnorm,
+                                        spectral_norm=m.d_spectral_norm)
         transplant_cond_g(pg, sg, tg)
         transplant_cond_d(pd, sd, td)
         return tg, td
-    tg = TorchGenerator(m.image_size, m.channels, m.nz, m.ngf,
-                        batchnorm=m.g_batchnorm)
-    td = TorchDiscriminator(m.image_size, m.channels, m.ndf,
-                            batchnorm=m.d_batchnorm,
-                            spectral_norm=m.d_spectral_norm)
+    if into is not None:
+        tg, td = into
+    else:
+        tg = TorchGenerator(m.image_size, m.channels, m.nz, m.ngf,
+                            batchnorm=m.g_batchnorm)
+        td = TorchDiscriminator(m.image_size, m.channels, m.ndf,
+                                batchnorm=m.d_batchnorm,
+                                spectral_norm=m.d_spectral_norm)
     transplant_g(pg, sg, tg)
     transplant_d(pd, sd, td)
     return tg, td
