@@ -7,7 +7,9 @@ so this is either widened relay noise (fix: widen the documented band) or
 a real regression (fix: bisect).  This probe re-measures both judged axes
 N times each at the judged sweep's batch sizes using bench.py's own LSQ
 estimator, and prints one JSON line per measurement so the spread itself
-becomes the banked artifact (docs/evidence/remeasure_r5.jsonl).
+becomes the banked artifact (banked as docs/evidence/remeasure_r5_head.jsonl
+for the current tree and remeasure_r5_r3tree.jsonl for the pristine
+round-3 worktree control).
 
 Usage: python benchmarks/remeasure_128.py [--repeats 5] [--steps 20]
 """

@@ -298,6 +298,47 @@ def test_ema_export_self_describes_and_round_trips():
     np.testing.assert_array_equal(got, want)
 
 
+def test_export_lr_is_schedule_effective():
+    """Under optim.schedule='linear' the exported param_groups carry the
+    LR in effect at the exported count, not the initial value — torch's
+    load_state_dict overrides the constructor LR with the saved group's,
+    so an initial-LR export would make a warm fine-tune step at the
+    un-decayed rate on a decayed model (round-5 review)."""
+    from tpugan.train.state import lr_schedule
+
+    cfg = _cfg("dcgan_cifar10", **{"optim.schedule": "linear",
+                                   "train.total_steps": 4})
+    state = _stepped_state(cfg, n=3)  # past decay_start_frac=0.5 of 4
+    out = export_torch_checkpoint(cfg, state)
+    exp_g = float(lr_schedule(cfg, cfg.optim.lr_g)(3))
+    exp_d = float(lr_schedule(cfg, cfg.optim.lr_d)(3))
+    assert exp_g < cfg.optim.lr_g  # the test is vacuous unless decayed
+    assert out["opt_G"]["param_groups"][0]["lr"] == pytest.approx(exp_g)
+    assert out["opt_D"]["param_groups"][0]["lr"] == pytest.approx(exp_d)
+    # constant schedule still exports the configured LR verbatim
+    cfg2 = _cfg("dcgan_cifar10")
+    out2 = export_torch_checkpoint(cfg2, _stepped_state(cfg2))
+    assert out2["opt_G"]["param_groups"][0]["lr"] == cfg2.optim.lr_g
+
+
+def test_foreign_alias_opt_keys_not_trusted():
+    """A merged dict carrying the tpugan_export marker next to a FOREIGN
+    optimizer key ('optimizerG' etc.) must not warm-restore: only the
+    exporter's own opt_G/opt_D spellings are harvested, because foreign
+    optimizers never promised the twin's parameters() order."""
+    from tpugan.ckpt.torch_import import extract_export_meta
+
+    cfg = _cfg("dcgan_cifar10")
+    out = export_torch_checkpoint(cfg, _stepped_state(cfg))
+    merged = {"G": out["G"], "D": out["D"],
+              "tpugan_export": out["tpugan_export"],
+              "optimizerG": out["opt_G"], "optimizer_d": out["opt_D"]}
+    meta, opt_g, opt_d = extract_export_meta(merged)
+    assert meta is not None and opt_g is None and opt_d is None
+    meta, opt_g, opt_d = extract_export_meta(out)
+    assert opt_g is not None and opt_d is not None
+
+
 # ---- CLI provenance guards (round-5 review findings) ----------------------
 
 _CLI_SETS = ["--set", "model.ngf=16", "--set", "model.ndf=16",

@@ -92,12 +92,28 @@ def _moment_trees_as_torch(cfg, state, columns
     return out
 
 
+def _effective_lr(cfg, lr: float, count: int, every: int = 1) -> float:
+    """The LR actually in effect at the exported update count.
+
+    torch's ``load_state_dict`` replaces the constructor's lr with the
+    saved param_group's, so under ``optim.schedule='linear'`` exporting
+    the INITIAL lr would make a "warm" torch fine-tune step at the
+    un-decayed rate on a converged model (round-5 review).  Evaluate the
+    same schedule ``make_optimizers`` built, at the optimizer's own count.
+    """
+    from tpugan.train.state import lr_schedule
+
+    s = lr_schedule(cfg, lr, every)
+    return float(s(count)) if callable(s) else float(s)
+
+
 def _torch_opt_state_dict(o, lr: float, mu_list, nu_list, count: int) -> Dict:
     """torch-native ``optimizer.state_dict()`` for the configured rule.
 
     ``params`` indices follow the twin's ``parameters()`` order; hyperparams
     come from cfg.optim so a torch ``Adam``/``RMSprop`` built over the twin
-    loads this dict directly and continues with tpugan's settings.
+    loads this dict directly and continues with tpugan's settings.  ``lr``
+    is the schedule-effective value at ``count``, not the initial one.
     """
     import torch
 
@@ -163,7 +179,10 @@ def export_torch_checkpoint(cfg, state, use_ema: bool = False,
             cfg, state, [(mu_g, mu_d), (nu_g, nu_d)])
         o = cfg.optim
         if nu_tg is not None:
-            out["opt_G"] = _torch_opt_state_dict(o, o.lr_g, mu_tg, nu_tg, cg)
+            lr_g = _effective_lr(cfg, o.lr_g, cg,
+                                 every=max(cfg.loss.n_critic, 1))
+            out["opt_G"] = _torch_opt_state_dict(o, lr_g, mu_tg, nu_tg, cg)
         if nu_td is not None:
-            out["opt_D"] = _torch_opt_state_dict(o, o.lr_d, mu_td, nu_td, cd)
+            lr_d = _effective_lr(cfg, o.lr_d, cd)
+            out["opt_D"] = _torch_opt_state_dict(o, lr_d, mu_td, nu_td, cd)
     return out

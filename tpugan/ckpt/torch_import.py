@@ -260,11 +260,13 @@ def _assert_shapes_match(what: str, imported, template) -> None:
             + "; ".join(bad[:6]))
 
 
-# Keys under which tpugan export-torch (and common torch GAN scripts)
-# store the optimizer state_dicts.  Only consumed when the checkpoint
-# carries the tpugan_export marker — see module docstring.
-_OPT_G_KEYS = ("opt_G", "opt_g", "optimizerG", "optimizer_g")
-_OPT_D_KEYS = ("opt_D", "opt_d", "optimizerD", "optimizer_d")
+# Keys under which tpugan export-torch stores the optimizer state_dicts —
+# EXACTLY the exporter's own, no foreign aliases ('optimizerG' etc.):
+# moments are only trusted under the tpugan_export marker, and a merged
+# dict could carry the marker next to a foreign optimizer whose
+# parameters() order we never promised (round-5 review).
+_OPT_G_KEYS = ("opt_G",)
+_OPT_D_KEYS = ("opt_D",)
 
 
 def extract_export_meta(obj) -> Tuple[Optional[Dict], Optional[Dict],
@@ -336,7 +338,15 @@ def import_optimizer_state(cfg, state, opt_g_sd: Optional[Dict] = None,
     from tpugan.parity.runners import build_torch_twins
     from tpugan.train.state import make_optimizers
 
-    twin_g, twin_d = build_torch_twins(cfg, state)
+    # Build (and weight-transplant) only the twin(s) whose moments are
+    # actually being restored — a single-net restore (e.g. the CLI's --g
+    # override dropping G's moments) shouldn't pay for the other net's
+    # module construction + tensor copies (round-5 review).
+    only = ("g" if opt_g_sd is not None else "") + \
+           ("d" if opt_d_sd is not None else "")
+    if not only:
+        return state
+    twin_g, twin_d = build_torch_twins(cfg, state, only=only)
     tx_g, tx_d = make_optimizers(cfg)
     conditional = cfg.model.arch == "cdcgan"
     o = cfg.optim

@@ -268,8 +268,11 @@ def cmd_import_torch(args):
 
     Completes the migration story the way convert-inception did for the
     FID network: a gan-playground user's trained G/D state_dicts become a
-    restorable tpugan checkpoint (weights + BN stats + SN u; optimizer
-    state starts fresh — see ckpt/torch_import.py).
+    restorable tpugan checkpoint (weights + BN stats + SN u).  Optimizer
+    moments are restored warm ONLY from tpugan's own exports (the
+    tpugan_export marker pins the param order + update rule + format
+    version); foreign .pth moments stay un-imported by design — see
+    ckpt/torch_import.py.
     """
     import torch
 

@@ -165,7 +165,7 @@ def _torch_gp(td, real, fake, alpha, torch, y=None):
     return ((norms - 1.0) ** 2).mean()
 
 
-def build_torch_twins(cfg: Config, state, into=None):
+def build_torch_twins(cfg: Config, state, into=None, only: str = "gd"):
     """Torch G/D mirroring cfg's architecture, weights transplanted from a
     tpugan TrainState (so both frameworks start bit-identical).
 
@@ -173,6 +173,10 @@ def build_torch_twins(cfg: Config, state, into=None):
     constructing fresh ones — used by the exporter to run several
     params-shaped trees (weights, Adam mu, Adam nu) through the same
     layout transforms without rebuilding the modules each time.
+
+    ``only`` limits which nets are built/transplanted ("g", "d", or the
+    default "gd"); the skipped slot returns None — used by the optimizer
+    importer when only one net's moments are being restored.
     """
     import jax
 
@@ -190,33 +194,35 @@ def build_torch_twins(cfg: Config, state, into=None):
     from tpugan.models.registry import resolve_embed_dim
 
     m = cfg.model
-    pg, sg = jax.device_get(state.params_g), jax.device_get(state.state_g)
-    pd, sd = jax.device_get(state.params_d), jax.device_get(state.state_d)
-    if m.arch == "cdcgan":
-        if into is not None:
-            tg, td = into
-        else:
-            ed = resolve_embed_dim(m)  # 0 -> 50, same rule as build_models
-            tg = TorchCondGenerator(m.image_size, m.channels, m.nz, m.ngf,
-                                    m.n_classes, ed,
-                                    batchnorm=m.g_batchnorm)
-            td = TorchCondDiscriminator(m.image_size, m.channels, m.ndf,
-                                        m.n_classes, ed,
-                                        batchnorm=m.d_batchnorm,
-                                        spectral_norm=m.d_spectral_norm)
-        transplant_cond_g(pg, sg, tg)
-        transplant_cond_d(pd, sd, td)
-        return tg, td
-    if into is not None:
-        tg, td = into
-    else:
-        tg = TorchGenerator(m.image_size, m.channels, m.nz, m.ngf,
-                            batchnorm=m.g_batchnorm)
-        td = TorchDiscriminator(m.image_size, m.channels, m.ndf,
-                                batchnorm=m.d_batchnorm,
-                                spectral_norm=m.d_spectral_norm)
-    transplant_g(pg, sg, tg)
-    transplant_d(pd, sd, td)
+    want_g, want_d = "g" in only, "d" in only
+    if not (want_g or want_d):
+        raise ValueError(f"only={only!r} selects neither net")
+    conditional = m.arch == "cdcgan"
+    tg, td = into if into is not None else (None, None)
+    if into is None:
+        ed = resolve_embed_dim(m) if conditional else 0  # 0 -> 50 rule
+        if want_g:
+            tg = (TorchCondGenerator(m.image_size, m.channels, m.nz, m.ngf,
+                                     m.n_classes, ed,
+                                     batchnorm=m.g_batchnorm)
+                  if conditional else
+                  TorchGenerator(m.image_size, m.channels, m.nz, m.ngf,
+                                 batchnorm=m.g_batchnorm))
+        if want_d:
+            td = (TorchCondDiscriminator(m.image_size, m.channels, m.ndf,
+                                         m.n_classes, ed,
+                                         batchnorm=m.d_batchnorm,
+                                         spectral_norm=m.d_spectral_norm)
+                  if conditional else
+                  TorchDiscriminator(m.image_size, m.channels, m.ndf,
+                                     batchnorm=m.d_batchnorm,
+                                     spectral_norm=m.d_spectral_norm))
+    if want_g:
+        pg, sg = jax.device_get(state.params_g), jax.device_get(state.state_g)
+        (transplant_cond_g if conditional else transplant_g)(pg, sg, tg)
+    if want_d:
+        pd, sd = jax.device_get(state.params_d), jax.device_get(state.state_d)
+        (transplant_cond_d if conditional else transplant_d)(pd, sd, td)
     return tg, td
 
 

@@ -47,30 +47,44 @@ class TrainState:
     ada_rt: Any = None
 
 
+def lr_schedule(cfg: Config, lr: float, every: int = 1):
+    """The configured LR schedule for one optimizer — a float (constant)
+    or an optax schedule callable in that optimizer's own update-count
+    domain.
+
+    Reference uses constant LR; linear decay-to-zero over the run's tail
+    is the standard GAN extension (pix2pix/CycleGAN recipe).
+
+    optax schedules are evaluated at the optimizer's own update count,
+    which for G advances only on every n_critic-th trainer step (its
+    update is skipped inside lax.cond otherwise).  `every` converts the
+    trainer-step decay window into that optimizer's count domain so
+    G's decay tracks wall steps like D's does — without it, G's count
+    tops out at total/n_critic, below decay_start, and G's LR would
+    never decay while D's goes to zero.
+
+    Shared with ckpt/torch_export.py, which evaluates it at the exported
+    update count so a torch-side warm resume sees the LR actually in
+    effect, not the un-decayed initial value.
+    """
+    o = cfg.optim
+    if o.schedule == "constant":
+        return lr
+    if o.schedule == "linear":
+        total = max(cfg.train.total_steps // every, 1)
+        start = int(total * o.decay_start_frac)
+        return optax.linear_schedule(
+            init_value=lr, end_value=0.0,
+            transition_steps=max(total - start, 1),
+            transition_begin=start)
+    raise ValueError(f"unknown optim.schedule {o.schedule!r}")
+
+
 def make_optimizers(cfg: Config):
     o = cfg.optim
 
     def sched(lr, every=1):
-        # Reference uses constant LR; linear decay-to-zero over the run's
-        # tail is the standard GAN extension (pix2pix/CycleGAN recipe).
-        #
-        # optax schedules are evaluated at the optimizer's own update count,
-        # which for G advances only on every n_critic-th trainer step (its
-        # update is skipped inside lax.cond otherwise).  `every` converts the
-        # trainer-step decay window into that optimizer's count domain so
-        # G's decay tracks wall steps like D's does — without it, G's count
-        # tops out at total/n_critic, below decay_start, and G's LR would
-        # never decay while D's goes to zero.
-        if o.schedule == "constant":
-            return lr
-        if o.schedule == "linear":
-            total = max(cfg.train.total_steps // every, 1)
-            start = int(total * o.decay_start_frac)
-            return optax.linear_schedule(
-                init_value=lr, end_value=0.0,
-                transition_steps=max(total - start, 1),
-                transition_begin=start)
-        raise ValueError(f"unknown optim.schedule {o.schedule!r}")
+        return lr_schedule(cfg, lr, every)
 
     if o.optimizer == "adam":
         mk = lambda lr, every=1: optax.adam(
