@@ -12,11 +12,14 @@ if [[ "$tier" == "default" || "$tier" == "all" ]]; then
     # covered by a cheaper default test or the driver's every-round
     # multichip gate moved to the slow tier with justification comments;
     # measured 20:36 WITH a concurrent 8-device compile contending the
-    # box, ~18-19 min idle).  The hard kill is 25 min so box contention
-    # cannot spuriously fail a healthy run; if it triggers, re-run
-    # `pytest --durations=25` and retier before adding anything heavy.
-    echo "=== default tier (budget: 20 min target, 25 min hard) ==="
-    timeout 1500 python -m pytest tests/ -q
+    # box, ~18-19 min idle).  The hard kill is 30 min: the same green
+    # 310-test tier measured 28:23 on a slow/shared-CPU day (round-5
+    # verification session) vs 18-19 min idle, so a 25-min kill could
+    # spuriously fail a healthy run on box variance alone; if the 30-min
+    # kill triggers, re-run `pytest --durations=25` and retier before
+    # adding anything heavy.
+    echo "=== default tier (budget: 20 min target, 30 min hard) ==="
+    timeout 1800 python -m pytest tests/ -q
 fi
 if [[ "$tier" == "slow" || "$tier" == "all" ]]; then
     echo "=== slow tier (long convergence runs, full-Inception CPU compiles,"
